@@ -1,0 +1,281 @@
+package graft.codec
+
+/** FSST-style string-symbol compression over the stringified id stream.
+  *
+  * A faithful simplified variant of FSST (Boncz/Neumann/Leis, VLDB'20 "FSST:
+  * Fast Random Access String Compression"): a table of up to 254 byte-string
+  * symbols (length 1..7) trained by iterative greedy re-encoding + adjacent
+  * pair merging (the paper's bottom-up construction) on a deterministic
+  * prefix sample; greedy longest-match encoding; escape byte 0xFF for
+  * literals; unused symbols pruned from the serialized table (per-row blobs
+  * make table bytes precious). Applied to token columns whose stringified
+  * ids share long prefixes/suffixes (SURVEY.md §7 Phase 1).
+  *
+  * Symbols are manipulated as Long-packed keys (len in the top byte, up to
+  * 7 payload bytes little-endian) — no per-lookup allocation. Training is a
+  * pure function of the array prefix, so encoded bytes are deterministic
+  * across parallelism levels (SURVEY.md §7 "Hard parts" #4).
+  *
+  * Stream form: each token rendered as decimal ASCII followed by ','
+  * (including after the last token).
+  *
+  * Payload: varint nTokens | byte nSymbols | (byte len, bytes)* |
+  *          varint encodedLen | encoded bytes.
+  */
+object FsstCodec extends Codec {
+  val tag: Byte = 5
+  val name = "fsst"
+
+  private val Escape = 0xff
+  private val MaxSymbols = 254 // codes 0..253; 0xFF = escape
+  private val MaxSymLen = 7    // 7 bytes pack into a Long beside the length
+  private val SampleBytes = 1024
+  private val TrainIters = 4
+
+  /** Render tokens to the decimal byte stream. */
+  private[codec] def toStream(xs: Array[Int]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(xs.length * 6)
+    var i = 0
+    while (i < xs.length) { sb.append(xs(i)); sb.append(','); i += 1 }
+    val s = sb.toString
+    val out = new Array[Byte](s.length)
+    i = 0
+    while (i < s.length) { out(i) = s.charAt(i).toByte; i += 1 }
+    out
+  }
+
+  private[codec] def fromStream(bytes: Array[Byte], n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      var neg = false
+      if (bytes(pos) == '-') { neg = true; pos += 1 }
+      var v = 0
+      while (bytes(pos) != ',') { v = v * 10 + (bytes(pos) - '0'); pos += 1 }
+      pos += 1 // skip ','
+      out(i) = if (neg) -v else v
+      i += 1
+    }
+    out
+  }
+
+  @inline private def pack(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var k = len.toLong << 56
+    var j = 0
+    while (j < len) { k |= (bytes(off + j) & 0xffL) << (j * 8); j += 1 }
+    k
+  }
+
+  private def unpack(k: Long): Array[Byte] = {
+    val len = (k >>> 56).toInt
+    val out = new Array[Byte](len)
+    var j = 0
+    while (j < len) { out(j) = ((k >>> (j * 8)) & 0xff).toByte; j += 1 }
+    out
+  }
+
+  private type SymMap = java.util.HashMap[java.lang.Long, Integer]
+
+  /** Longest symbol match at `bytes(i)`, or 0 if none. */
+  @inline private def longestMatch(bytes: Array[Byte], i: Int, limit: Int,
+      codeOf: SymMap): Int = {
+    var len = math.min(MaxSymLen, limit - i)
+    while (len >= 1) {
+      if (codeOf.containsKey(pack(bytes, i, len))) return len
+      len -= 1
+    }
+    0
+  }
+
+  /** Iterative FSST training: start from an empty table (all literals);
+    * each round, greedily segment the sample with the current table, count
+    * unit + merged-adjacent-pair gains on segment boundaries (no overlap
+    * double-counting), keep the top [[MaxSymbols]] candidates. Ties broken
+    * deterministically by (gain desc, len desc, packed key asc).
+    * Returns packed symbol keys, code = array index.
+    */
+  private[codec] def trainPacked(stream: Array[Byte]): Array[Long] = {
+    val limit = math.min(stream.length, SampleBytes)
+    if (limit == 0) return Array.empty
+    var codeOf: SymMap = new java.util.HashMap()
+    var table: Array[Long] = Array.empty
+    val offs = new Array[Int](limit + 1)
+    var iter = 0
+    while (iter < TrainIters) {
+      // segment sample with current table
+      var nUnits = 0
+      var i = 0
+      while (i < limit) {
+        offs(nUnits) = i
+        val m = longestMatch(stream, i, limit, codeOf)
+        i += (if (m == 0) 1 else m)
+        nUnits += 1
+      }
+      offs(nUnits) = limit
+      // count gains of units and merged adjacent pairs
+      val gains = new java.util.HashMap[java.lang.Long, java.lang.Long](1024)
+      def credit(key: Long, len: Int): Unit = {
+        val g: Long = if (len == 1) 1L else (len - 1).toLong
+        val cur = gains.get(key)
+        gains.put(key, if (cur == null) g else cur + g)
+      }
+      var u = 0
+      while (u < nUnits) {
+        val off = offs(u)
+        val len = offs(u + 1) - off
+        credit(pack(stream, off, len), len)
+        if (u + 1 < nUnits) {
+          val mergedLen = offs(u + 2) - off
+          if (mergedLen <= MaxSymLen) credit(pack(stream, off, mergedLen), mergedLen)
+        }
+        u += 1
+      }
+      // select top candidates
+      val entries = new java.util.ArrayList[java.util.Map.Entry[java.lang.Long, java.lang.Long]](gains.size)
+      gains.forEach { (k, g) =>
+        val len = (k.longValue >>> 56).toInt
+        if (g >= 2L * len) entries.add(java.util.Map.entry(k, g)) // amortize table cost
+      }
+      val arr = entries.toArray(new Array[java.util.Map.Entry[java.lang.Long, java.lang.Long]](entries.size))
+      java.util.Arrays.sort(arr,
+        (a: java.util.Map.Entry[java.lang.Long, java.lang.Long],
+         b: java.util.Map.Entry[java.lang.Long, java.lang.Long]) => {
+          val ga = a.getValue.longValue; val gb = b.getValue.longValue
+          if (ga != gb) java.lang.Long.compare(gb, ga)
+          else {
+            val la = (a.getKey.longValue >>> 56).toInt
+            val lb = (b.getKey.longValue >>> 56).toInt
+            if (la != lb) Integer.compare(lb, la)
+            else java.lang.Long.compare(a.getKey.longValue, b.getKey.longValue)
+          }
+        })
+      val n = math.min(arr.length, MaxSymbols)
+      table = new Array[Long](n)
+      codeOf = new java.util.HashMap(n * 2)
+      var k = 0
+      while (k < n) {
+        table(k) = arr(k).getKey.longValue
+        codeOf.put(table(k), k)
+        k += 1
+      }
+      iter += 1
+    }
+    table
+  }
+
+  private def buildCodeOf(table: Array[Long]): SymMap = {
+    val m: SymMap = new java.util.HashMap(table.length * 2)
+    var s = 0
+    while (s < table.length) { m.put(table(s), s); s += 1 }
+    m
+  }
+
+  /** Segment `bytes[0, limit)` into provisional codes: >=0 symbol code,
+    * -(b+1) literal byte b. Returns the code stream.
+    */
+  private def toCodes(bytes: Array[Byte], limit: Int, codeOf: SymMap): Array[Int] = {
+    val codes = new Array[Int](limit)
+    var n = 0
+    var i = 0
+    while (i < limit) {
+      val m = longestMatch(bytes, i, limit, codeOf)
+      if (m == 0) { codes(n) = -((bytes(i) & 0xff) + 1); i += 1 }
+      else { codes(n) = codeOf.get(pack(bytes, i, m)).intValue; i += m }
+      n += 1
+    }
+    java.util.Arrays.copyOf(codes, n)
+  }
+
+  def encodePayload(xs: Array[Int], w: ByteWriter): Unit = {
+    w.writeVarLong(xs.length.toLong)
+    if (xs.isEmpty) { w.writeByte(0); w.writeVarLong(0L); return }
+    val stream = toStream(xs)
+    val table = trainPacked(stream)
+    val codeOf = buildCodeOf(table)
+    val codes = toCodes(stream, stream.length, codeOf)
+    // prune unused symbols: removing never-matched symbols cannot change
+    // greedy longest-match segmentation, so a stable remap is safe.
+    val remap = new Array[Int](table.length)
+    java.util.Arrays.fill(remap, -1)
+    var c = 0
+    while (c < codes.length) {
+      if (codes(c) >= 0) remap(codes(c)) = 0
+      c += 1
+    }
+    var nUsed = 0
+    var s = 0
+    while (s < table.length) {
+      if (remap(s) == 0) { remap(s) = nUsed; nUsed += 1 }
+      s += 1
+    }
+    w.writeByte(nUsed)
+    s = 0
+    while (s < table.length) {
+      if (remap(s) >= 0) {
+        val sym = unpack(table(s))
+        w.writeByte(sym.length)
+        w.writeBytes(sym)
+      }
+      s += 1
+    }
+    var encLen = 0
+    c = 0
+    while (c < codes.length) { encLen += (if (codes(c) >= 0) 1 else 2); c += 1 }
+    w.writeVarLong(encLen.toLong)
+    c = 0
+    while (c < codes.length) {
+      val code = codes(c)
+      if (code >= 0) w.writeByte(remap(code))
+      else { w.writeByte(Escape); w.writeByte(-code - 1) }
+      c += 1
+    }
+  }
+
+  def decodePayload(r: ByteReader): Array[Int] = {
+    val n = r.readVarLong().toInt
+    val nSymbols = r.readByte()
+    val symbols = new Array[Array[Byte]](nSymbols)
+    var s = 0
+    while (s < nSymbols) {
+      val len = r.readByte()
+      val sym = new Array[Byte](len)
+      System.arraycopy(r.buf, r.pos, sym, 0, len)
+      r.pos += len
+      symbols(s) = sym
+      s += 1
+    }
+    val encLen = r.readVarLong().toInt
+    val out = new ByteWriter(encLen * 2 + 8)
+    var i = 0
+    while (i < encLen) {
+      val code = r.readByte()
+      if (code == Escape) { out.writeByte(r.readByte()); i += 2 }
+      else { out.writeBytes(symbols(code)); i += 1 }
+    }
+    fromStream(out.result(), n)
+  }
+
+  /** Estimated encoded bytes for the selector: train on the deterministic
+    * prefix sample, code just the sample, extrapolate by stream length.
+    */
+  def probeSize(xs: Array[Int]): Long = {
+    if (xs.isEmpty) return 4L
+    val stream = toStream(xs)
+    val table = trainPacked(stream)
+    val codeOf = buildCodeOf(table)
+    val limit = math.min(stream.length, SampleBytes)
+    val codes = toCodes(stream, limit, codeOf)
+    var encLen = 0L
+    val used = new java.util.HashSet[Integer]()
+    var c = 0
+    while (c < codes.length) {
+      if (codes(c) >= 0) { encLen += 1; used.add(codes(c)) } else encLen += 2
+      c += 1
+    }
+    var tableCost = 2L
+    used.forEach(code => tableCost += 1 + (table(code.intValue) >>> 56))
+    val ratio = encLen.toDouble / limit
+    (ratio * stream.length + tableCost + Bytes.varLen(xs.length.toLong) + 4).toLong
+  }
+}

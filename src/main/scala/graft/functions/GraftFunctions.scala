@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** SQL registration + Column helpers for the codec expression family.
+  *
+  * Registered as temp functions (per the reference's extension-point table,
+  * SURVEY.md §2.8) so queries can use them from both SQL text and the
+  * DataFrame API via `call_function` — the stable public bridge in Spark 4.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("encode_tokens",
+      exprs => EncodeTokens(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_auto",
+      exprs => EncodeAuto(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_tokens",
+      exprs => DecodeTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("codec_of",
+      exprs => CodecOf(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_stats",
+      exprs => TokenStats(exprs.head), "scala_udf")
+  }
+
+  def encode_tokens(tokens: Column, codec: String): Column =
+    call_function("encode_tokens", tokens, org.apache.spark.sql.functions.lit(codec))
+  def encode_auto(tokens: Column): Column = call_function("encode_auto", tokens)
+  def decode_tokens(blob: Column): Column = call_function("decode_tokens", blob)
+  def codec_of(blob: Column): Column = call_function("codec_of", blob)
+  def token_stats(tokens: Column): Column = call_function("token_stats", tokens)
+}
