@@ -206,7 +206,7 @@ object DictCodec extends Codec {
 }
 
 /** Registry + public entry points. */
-object Codecs {
+object Codecs extends Serializable {
   val all: Seq[Codec] =
     Seq(PlainCodec, RleCodec, BitPackCodec, ForDeltaCodec, DictCodec, FsstCodec)
 

@@ -78,7 +78,7 @@ object ColumnStats {
   * array → choice is deterministic across parallelism levels (SURVEY.md §7
   * "Hard parts" #4).
   */
-object CodecSelector {
+object CodecSelector extends Serializable {
 
   /** Estimated total blob size (incl. 1-byte tag) per codec. */
   def estimates(xs: Array[Int], st: ColumnStats): Seq[(Codec, Long)] = {
