@@ -1,0 +1,226 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.sources.Tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operator inventory as driver-checkable queries (SURVEY.md §2 / §7 list).
+  *
+  * Every entry is a (SparkSession, sfDir) => DataFrame plus, where the
+  * semantics are ANSI-SQL-expressible, a DuckDB oracle over the same parquet
+  * tables. Token values are derived from `documents` with cross-engine
+  * integer arithmetic ([[Tokens]]), so codec roundtrip queries are verified
+  * value-exactly by the oracle: if decode∘encode were not bit-identical, the
+  * checksums/values would diverge.
+  *
+  * Column-name discipline: Spark output and oracle SQL alias every column
+  * identically; all oracle-checked outputs use BIGINT/VARCHAR/DOUBLE only.
+  */
+object Queries {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tokens.fromDocuments(s, dir)
+  }
+
+  // ---------------------------------------------------------------- scans
+
+  /** S12/A1: scan + per-source aggregate over the token table. */
+  private val scanTokens = Q(
+    (s, dir) => tokens(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("sum_tok"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc")),
+    Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(${Tokens.nTokSql("doc_id")}) AS BIGINT) AS sum_tok,
+            |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            |FROM documents GROUP BY source""".stripMargin))
+
+  /** P1/P2: projection pruning — only doc_id/n_tok reach the scan. */
+  private val projectPrune = Q(
+    (s, dir) => tokens(s, dir).select(col("doc_id"), col("n_tok").cast("long").as("n_tok")),
+    Some(s"SELECT doc_id, CAST(${Tokens.nTokSql("doc_id")} AS BIGINT) AS n_tok FROM documents"))
+
+  /** F1/F2: predicate on source + shape predicate on n_tok. */
+  private val filterSource = Q(
+    (s, dir) => tokens(s, dir)
+      .filter(col("source").isin("src1", "src2", "src3") && col("n_tok") > 64)
+      .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok")),
+    Some(s"""SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok FROM (
+            |  SELECT doc_id, source, ${Tokens.nTokSql("doc_id")} AS n_tok FROM documents)
+            |WHERE source IN ('src1','src2','src3') AND n_tok > 64""".stripMargin))
+
+  /** A2: distinct. */
+  private val distinctDocs = Q(
+    (s, dir) => tokens(s, dir).select("source").distinct(),
+    Some("SELECT DISTINCT source FROM documents"))
+
+  /** O1: global sort + top-k with a deterministic tiebreak. */
+  private val sortTopk = Q(
+    (s, dir) => tokens(s, dir)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_tok").desc, col("doc_id"))).cast("long")),
+    Some(s"""SELECT doc_id, n_tok,
+            |  CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank
+            |FROM (SELECT doc_id, CAST(${Tokens.nTokSql("doc_id")} AS BIGINT) AS n_tok FROM documents)
+            |ORDER BY n_tok DESC, doc_id LIMIT 100""".stripMargin))
+
+  /** G1/G2: explode the token arrays of a doc subset. */
+  private val explodeTokens = Q(
+    (s, dir) => tokens(s, dir)
+      .filter(col("doc_id") % 50 === 1)
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("tok").cast("long").as("tok")),
+    Some(s"""${Tokens.duckTokensCte}
+            |SELECT doc_id, i, tok FROM tokv WHERE doc_id % 50 = 1""".stripMargin))
+
+  /** A4/A1: per-source stats over exploded token values — Spark computes
+    * them shuffle-free with higher-order functions, oracle re-derives from
+    * the generator.
+    */
+  private val statsAgg = Q(
+    (s, dir) => tokens(s, dir)
+      .select(
+        col("source"),
+        col("n_tok").cast("long").as("n_tok"),
+        expr("aggregate(transform(tokens, x -> CAST(x AS BIGINT)), 0L, (a, b) -> a + b)").as("tok_sum"),
+        expr("CAST(array_min(tokens) AS BIGINT)").as("tok_min"),
+        expr("CAST(array_max(tokens) AS BIGINT)").as("tok_max"))
+      .groupBy("source")
+      .agg(
+        sum("n_tok").as("sum_tok"),
+        expr(s"sum(tok_sum) % ${Tokens.ChecksumMod}").as("sum_val"),
+        min("tok_min").as("tok_min"),
+        max("tok_max").as("tok_max")),
+    Some(s"""${Tokens.duckTokensCte}
+            |SELECT source, CAST(count(*) AS BIGINT) AS sum_tok,
+            |  CAST(sum(tok) % ${Tokens.ChecksumMod} AS BIGINT) AS sum_val,
+            |  min(tok) AS tok_min, max(tok) AS tok_max
+            |FROM tokv GROUP BY source""".stripMargin))
+
+  /** G8 analog: size-based bin-packing assignment — per-source running
+    * token count, binned at 8192 tokens (the partition-planning primitive
+    * of the encode pipeline; reference: chunk sizing,
+    * crates/cli/src/parse/partitions.rs:357-379).
+    */
+  private val binpackWindow = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokens(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"))
+        .withColumn("bin", floor((sum("n_tok").over(w) - col("n_tok")) / lit(8192)).cast("long"))
+    },
+    Some(s"""SELECT doc_id, source, n_tok,
+            |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 8192) AS BIGINT) AS bin
+            |FROM (SELECT doc_id, source, CAST(${Tokens.nTokSql("doc_id")} AS BIGINT) AS n_tok FROM documents)""".stripMargin))
+
+  // ------------------------------------------------- codec roundtrips
+
+  /** The roundtrip verification shape shared by all codecs: decode∘encode,
+    * then order-sensitive checksum + bounds per doc. The oracle recomputes
+    * the same values straight from the generator — any bit flip in the
+    * codec path diverges cks/tmin/tmax/n.
+    */
+  private def roundtrip(codecExpr: String): (SparkSession, String) => DataFrame =
+    (s, dir) => tokens(s, dir)
+      .withColumn("decoded", expr(s"decode_tokens($codecExpr)"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(decoded) AS BIGINT)").as("n"),
+        expr(Tokens.checksumSql("decoded")).as("cks"),
+        expr("CAST(array_min(decoded) AS BIGINT)").as("tmin"),
+        expr("CAST(array_max(decoded) AS BIGINT)").as("tmax"))
+
+  private val roundtripOracle: String =
+    s"""${Tokens.duckTokensCte}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n, ${Tokens.duckChecksum} AS cks,
+       |  min(tok) AS tmin, max(tok) AS tmax
+       |FROM tokv GROUP BY doc_id""".stripMargin
+
+  private def codecRoundtrip(codec: String): Q =
+    Q(roundtrip(s"encode_tokens(tokens, '$codec')"), Some(roundtripOracle))
+
+  /** Full row-level identity on a doc subset: every (doc, position, token)
+    * from decode(encode_auto(tokens)) must equal the generator's stream.
+    */
+  private val roundtripIdentity = Q(
+    (s, dir) => tokens(s, dir)
+      .filter(col("doc_id") % 29 === 3)
+      .withColumn("decoded", expr("decode_tokens(encode_auto(tokens))"))
+      .select(col("doc_id"), posexplode(col("decoded")).as(Seq("i", "tok")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("tok").cast("long").as("tok")),
+    Some(s"""${Tokens.duckTokensCte}
+            |SELECT doc_id, i, tok FROM tokv WHERE doc_id % 29 = 3""".stripMargin))
+
+  /** Codec auto-selection distribution + encoded sizes per source — codec
+    * choice and byte sizes are engine-internal (no SQL oracle; rows-only).
+    */
+  private val codecAuto = Q(
+    (s, dir) => tokens(s, dir)
+      .withColumn("blob", expr("encode_auto(tokens)"))
+      .groupBy(col("source"), expr("codec_of(blob)").as("codec"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        sum(length(col("blob")).cast("long")).as("encoded_bytes")),
+    None)
+
+  /** Forced-codec size comparison table (rows-only; sizes engine-internal). */
+  private val encodedSizes = Q(
+    (s, dir) => {
+      val base = tokens(s, dir)
+      graft.codec.Codecs.all.map { c =>
+        base.select(
+          lit(c.name).as("codec"),
+          col("n_tok").cast("long").as("n_tokens"),
+          length(expr(s"encode_tokens(tokens, '${c.name}')")).cast("long").as("bytes"))
+      }.reduce(_ unionAll _)
+        .groupBy("codec")
+        .agg(
+          sum("n_tokens").as("n_tokens"),
+          sum("bytes").as("encoded_bytes"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Map[String, Q] = Map(
+    "scan_tokens" -> scanTokens,
+    "project_prune" -> projectPrune,
+    "filter_source" -> filterSource,
+    "distinct_docs" -> distinctDocs,
+    "sort_topk" -> sortTopk,
+    "explode_tokens" -> explodeTokens,
+    "stats_agg" -> statsAgg,
+    "binpack_window" -> binpackWindow,
+    "encode_plain" -> codecRoundtrip("plain"),
+    "encode_rle" -> codecRoundtrip("rle"),
+    "encode_bitpack" -> codecRoundtrip("bitpack"),
+    "encode_fordelta" -> codecRoundtrip("fordelta"),
+    "encode_dict" -> codecRoundtrip("dict"),
+    "encode_fsst" -> codecRoundtrip("fsst"),
+    "codec_auto_roundtrip" -> Q(roundtrip("encode_auto(tokens)"), Some(roundtripOracle)),
+    "roundtrip_identity" -> roundtripIdentity,
+    "codec_auto" -> codecAuto,
+    "encoded_sizes" -> encodedSizes
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(o))) => k -> o }
+}

@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query implementations live in [[Queries]] (token/codec operators) and
+  * [[Ops]] (training-data pipeline operators); the flagship `entry` runs the
+  * full encode pipeline on sf0.001.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the full encode pipeline (stats → codec auto-select → encode
+    * → lineage) on the sf0.001 token table; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Queries.queries("codec_auto")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for engine-internal ops (encoded
+    * sizes, codec distribution) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Queries.oracleSql
 }
