@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import graft.functions.GraftFunctions
+import graft.sinks.ManifestSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The full encode job (BASELINE.json north_star): stats → codec
+  * auto-selection → salted repartition + size-based bin-packing → encode →
+  * checkpointed sink with per-partition lineage + metrics.
+  *
+  * Mirrors the reference's pipeline stages (SURVEY.md §3.1): partition plan
+  * (crates/cli/src/parse/partitions.rs), skip-existing
+  * (crates/freeze/src/freeze.rs:96-109), per-run report
+  * (crates/freeze/src/types/reports.rs) — all as declarative DataFrame ops,
+  * no RDDs.
+  *
+  * Scale design notes (100 TB / 1000 executors):
+  *  - the only wide exchanges are one window (per source×salt, bounded key
+  *    cardinality = |sources| × saltBuckets) and one repartition by
+  *    part_key; encode itself is embarrassingly parallel map work inside
+  *    whole-stage codegen;
+  *  - hot sources with giant arrays are split across saltBuckets before the
+  *    window, so no single task sorts a whole hot source;
+  *  - bin-packing bounds tokens (≈ bytes) per output file, so file sizes
+  *    stay uniform regardless of skew;
+  *  - resume/commit are metadata-only operations against a manifest dataset
+  *    that Spark writes distributed (no driver-side collect of partitions).
+  */
+object EncodePipeline {
+
+  final case class Config(
+      outDir: String,
+      targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
+      saltBuckets: Int = 16,
+      maxPartitionsPerRun: Int = Int.MaxValue) // bound a run (resume testing / backfill waves)
+
+  final case class RunSummary(
+      runId: String,
+      planned: Long,
+      skipped: Long,
+      committed: Long,
+      nDocs: Long,
+      nTokens: Long,
+      rawBytes: Long,
+      encodedBytes: Long,
+      wallMs: Long)
+
+  /** Partition planning: salt hot sources, then size-based bin-packing of
+    * sequences by running token count within (source, salt), ordered by
+    * doc_id (deterministic across parallelism levels — the window order is
+    * total because doc_id is unique).
+    */
+  def plan(tokens: DataFrame, cfg: Config): DataFrame = {
+    val w = Window.partitionBy("source", "salt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)).cast("int"))
+      .withColumn("bin",
+        floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(cfg.targetBinTokens)))
+      .withColumn("part_key", concat_ws("/", col("source"), col("salt"), col("bin")))
+  }
+
+  /** Execute one run: encode + commit all not-yet-committed partitions
+    * (bounded by cfg.maxPartitionsPerRun). Returns the run summary.
+    */
+  def run(spark: SparkSession, tokens: DataFrame, cfg: Config): RunSummary = {
+    GraftFunctions.register(spark)
+    val t0 = System.nanoTime()
+    val runId = f"run-${ManifestSink.committedRunIds(cfg.outDir).size}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+
+    val planned = plan(tokens, cfg)
+    val committedKeys = ManifestSink.committedManifest(spark, cfg.outDir)
+      .select("part_key").distinct()
+
+    // resume: skip already-committed partitions (freeze.rs:96-109 analog)
+    var todo = planned.join(broadcast(committedKeys), Seq("part_key"), "left_anti")
+    val nPlanned = planned.select("part_key").distinct().count()
+    val nTodo = todo.select("part_key").distinct().count()
+    val nSkipped = nPlanned - nTodo // previously committed (≠ deferred below)
+    if (cfg.maxPartitionsPerRun != Int.MaxValue) {
+      val keys = todo.select("part_key").distinct()
+        .orderBy("part_key").limit(cfg.maxPartitionsPerRun)
+      todo = todo.join(broadcast(keys), Seq("part_key"), "left_semi")
+    }
+
+    val encoded = todo
+      .repartition(col("part_key"))
+      .withColumn("blob", expr("encode_auto(tokens)"))
+      .withColumn("codec", expr("codec_of(blob)"))
+      .withColumn("run_id", lit(runId))
+      .drop("tokens")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      encoded
+        .select("part_key", "run_id", "doc_id", "source", "salt", "bin",
+          "n_tok", "codec", "blob")
+        .write.mode("append").partitionBy("source")
+        .parquet(ManifestSink.dataDir(cfg.outDir))
+
+      // per-partition lineage + metrics rows (reports.rs / summaries.rs
+      // analog); majority codec per partition recorded alongside sizes.
+      val manifest = encoded.groupBy("part_key", "source", "salt", "bin", "run_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"),
+          (sum(col("n_tok").cast("long")) * 4).as("raw_bytes"),
+          sum(length(col("blob")).cast("long")).as("encoded_bytes"),
+          max_by(col("codec"), length(col("blob"))).as("codec"),
+          lit((System.nanoTime() - t0) / 1000000).as("wall_ms"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      manifest
+        .select(ManifestSink.ManifestSchemaCols.map(col): _*)
+        .write.mode("append").partitionBy("run_id")
+        .parquet(ManifestSink.manifestDir(cfg.outDir))
+
+      val totals = manifest.agg(
+        count(lit(1)), coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("n_tokens"), lit(0L)), coalesce(sum("raw_bytes"), lit(0L)),
+        coalesce(sum("encoded_bytes"), lit(0L))).collect()(0)
+      val nParts = totals.getLong(0)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val summary = RunSummary(runId, nPlanned, nSkipped, nParts,
+        totals.getLong(1), totals.getLong(2), totals.getLong(3),
+        totals.getLong(4), wallMs)
+
+      // atomic publish — everything above is invisible until this succeeds
+      ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary))
+      summary
+    } finally {
+      encoded.unpersist()
+    }
+  }
+
+  /** Run to completion (multiple bounded runs if maxPartitionsPerRun set). */
+  def runAll(spark: SparkSession, tokens: DataFrame, cfg: Config): Seq[RunSummary] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
+    var done = false
+    while (!done) {
+      val s = run(spark, tokens, cfg)
+      out += s
+      done = s.committed == 0 || s.skipped + s.committed >= s.planned
+    }
+    out.toSeq
+  }
+
+  /** Snapshot read of committed encoded rows with decoded token arrays. */
+  def readDecoded(spark: SparkSession, outDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    ManifestSink.readCommitted(spark, outDir)
+      .withColumn("tokens", expr("decode_tokens(blob)"))
+  }
+
+  /** Roundtrip verification: per-row token-array equality against the
+    * original (north-rule invariant). Returns the number of violating rows
+    * (0 = bit-identical everywhere).
+    */
+  def verifyRoundtrip(spark: SparkSession, original: DataFrame, outDir: String): Long = {
+    val decoded = readDecoded(spark, outDir).select(col("doc_id"), col("tokens").as("decoded"))
+    original.select("doc_id", "tokens")
+      .join(decoded, Seq("doc_id"), "full_outer")
+      .filter(not(col("tokens") <=> col("decoded")))
+      .count()
+  }
+
+  private def summaryJson(s: RunSummary): String =
+    s"""{"run_id":"${s.runId}","planned":${s.planned},"skipped":${s.skipped},
+       |"committed":${s.committed},"n_docs":${s.nDocs},"n_tokens":${s.nTokens},
+       |"raw_bytes":${s.rawBytes},"encoded_bytes":${s.encodedBytes},
+       |"wall_ms":${s.wallMs}}""".stripMargin.replace("\n", "")
+}

@@ -1,0 +1,104 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Iceberg-semantics checkpointed sink over plain parquet (no Iceberg
+  * runtime jars ship in this sandbox — SURVEY.md §7 preamble): snapshot
+  * isolation + atomic commit + resume, mirroring the reference's trio of
+  * tmp-write+rename (crates/freeze/src/types/dataframes/export.rs:13-23),
+  * skip-existing partitions (crates/freeze/src/freeze.rs:96-109) and run
+  * reports (crates/freeze/src/types/reports.rs:41-89).
+  *
+  * Layout under the sink root:
+  * {{{
+  * data/source=<s>/part-*.parquet      encoded rows (+ part_key, run_id cols)
+  * manifest/run_id=<id>/part-*.parquet per-partition lineage + metrics rows
+  * commits/<id>.json                   atomic run marker (tmp + rename)
+  * }}}
+  *
+  * Invariants:
+  *  - a run's data and manifest rows are invisible until `commits/<id>.json`
+  *    exists (written last, atomically) — snapshot isolation;
+  *  - readers join data against committed (part_key, run_id) pairs, so a
+  *    crashed run's orphan files are never read and a re-run of the same
+  *    partition cannot produce duplicates;
+  *  - resume = anti-join the new plan against committed part_keys.
+  */
+object ManifestSink {
+
+  val ManifestSchemaCols: Seq[String] = Seq(
+    "part_key", "source", "salt", "bin", "run_id",
+    "n_docs", "n_tokens", "raw_bytes", "encoded_bytes", "codec", "wall_ms")
+
+  def dataDir(root: String): String = s"$root/data"
+  def manifestDir(root: String): String = s"$root/manifest"
+  private def commitsDir(root: String): Path = Paths.get(root, "commits")
+
+  /** Ids of committed runs (tiny listing; one marker file per run). */
+  def committedRunIds(root: String): Seq[String] = {
+    val dir = commitsDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s = Files.list(dir)
+    try {
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && !n.startsWith("_tmp"))
+          out += n.stripSuffix(".json")
+      }
+    } finally s.close()
+    out.toSeq.sorted
+  }
+
+  /** Committed manifest rows (lineage + metrics table; reference K9/K10). */
+  def committedManifest(spark: SparkSession, root: String): DataFrame = {
+    val runs = committedRunIds(root)
+    if (runs.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("part_key", StringType), StructField("source", StringType),
+        StructField("salt", IntegerType), StructField("bin", LongType),
+        StructField("run_id", StringType), StructField("n_docs", LongType),
+        StructField("n_tokens", LongType), StructField("raw_bytes", LongType),
+        StructField("encoded_bytes", LongType), StructField("codec", StringType),
+        StructField("wall_ms", LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      // run_id is a partition dir of the manifest dataset -> pruned scan
+      spark.read.parquet(manifestDir(root))
+        .filter(col("run_id").isin(runs: _*))
+    }
+  }
+
+  /** Committed encoded rows (snapshot read): data semi-joined against the
+    * committed (part_key, run_id) pairs, so orphans from crashed runs are
+    * invisible and re-encoded partitions appear exactly once.
+    */
+  def readCommitted(spark: SparkSession, root: String): DataFrame = {
+    val committed = committedManifest(spark, root).select("part_key", "run_id")
+    spark.read.parquet(dataDir(root))
+      .join(broadcast(committed), Seq("part_key", "run_id"), "left_semi")
+  }
+
+  /** Atomically publish a run: write the marker JSON via tmp + rename
+    * (export.rs:13-23 semantics). Call only after data + manifest writes
+    * succeeded.
+    */
+  def commitRun(root: String, runId: String, summaryJson: String): Unit = {
+    val dir = commitsDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_tmp_$runId.json")
+    Files.write(tmp, summaryJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"$runId.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readCommitSummaries(root: String): Seq[String] =
+    committedRunIds(root).map { id =>
+      new String(Files.readAllBytes(commitsDir(root).resolve(s"$id.json")),
+        StandardCharsets.UTF_8)
+    }
+}
