@@ -1,0 +1,179 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators exposed through the driver contract:
+  * dedup family, similarity search, text analysis, multimodal plumbing,
+  * and an event-table windowed aggregation. Oracles included wherever the
+  * semantics are portable (value-exact) to DuckDB; approximate/engine-
+  * internal ops (LSH candidates, fake decode features) are rows-only here
+  * and verified against exact baselines in OpsSpec instead.
+  */
+object OpsQueries {
+
+  import Queries.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val dedupExact = Q(
+    (s, dir) => Dedup.exact(docs(s, dir)),
+    Some("""SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_copies
+           |FROM documents GROUP BY md5(text)""".stripMargin))
+
+  private val dedupBow = Q(
+    (s, dir) => Dedup.bagOfWords(docs(s, dir)),
+    Some("""SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS digest,
+           |  min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+           |FROM documents GROUP BY 1""".stripMargin))
+
+  private val ngramJaccard = Q(
+    (s, dir) => Dedup.ngramJaccard(docs(s, dir)),
+    Some("""WITH g AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    list_distinct(CASE WHEN len(words) >= 3 THEN
+           |      list_transform(range(0, len(words) - 2),
+           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+           |    ELSE [array_to_string(words, ' ')] END) AS grams
+           |  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words FROM documents)
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) /
+           |    len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT) AS jac_pct
+           |FROM g a JOIN g b
+           |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id""".stripMargin))
+
+  private val dedupMinhash = Q(
+    (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * 32).cast("long").as("n_matching")),
+    None) // LSH internals: verified vs exact jaccard in OpsSpec
+
+  private val dedupSimhash = Q(
+    (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 20),
+    None)
+
+  private val dedupEmbed = Q(
+    (s, dir) => Dedup.embeddingPairs(embeds(s, dir), threshold = 0.3, planes = 4)
+      .select(col("vec_a"), col("vec_b")),
+    None) // LSH recall vs the exact pair set asserted in OpsSpec
+
+  private val annBrute = Q(
+    (s, dir) => {
+      val e = embeds(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 1)
+        .select(col("probe_id"), col("nbr_id"))
+    },
+    Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+           |SELECT probe_id, nbr_id FROM (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS rank
+           |  FROM p JOIN c ON p.vec_id != c.vec_id)
+           |WHERE rank = 1""".stripMargin))
+
+  private val annLsh = Q(
+    (s, dir) => {
+      val e = embeds(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 20), k = 3, planes = 4)
+    },
+    None) // approximate: recall vs brute force asserted in OpsSpec
+
+  private val textQuality = Q(
+    (s, dir) => TextOps.quality(docs(s, dir)),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+           |  CAST(floor(10.0 * length(replace(text, ' ', '')) /
+           |    (length(text) - length(replace(text, ' ', '')) + 1)) AS BIGINT) AS avg_word_len_x10
+           |FROM documents""".stripMargin))
+
+  private val textLangid = Q(
+    (s, dir) => TextOps.langid(docs(s, dir)),
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, ' ' || text || ' ' AS padded,
+           |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+           |     + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+           |     + (length(padded) - length(replace(padded, ' data ', ''))) / 6 AS BIGINT) AS n_stop,
+           |  CASE WHEN ((length(padded) - length(replace(padded, ' the ', ''))) / 5
+           |           + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+           |           + (length(padded) - length(replace(padded, ' data ', ''))) / 6) * 1000.0
+           |          / n_words >= 30 THEN 'en_like' ELSE 'other' END AS pred
+           |FROM t""".stripMargin))
+
+  private val textTokens = Q(
+    (s, dir) => TextOps.tokenCounts(docs(s, dir)),
+    Some("""SELECT doc_id,
+           |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+           |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+           |FROM documents""".stripMargin))
+
+  private val textFingerprint = Q(
+    (s, dir) => TextOps.fingerprint(docs(s, dir)),
+    Some("""SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+           |    i -> i * ascii(text[i]))) % 1000000007 AS BIGINT) AS fingerprint
+           |FROM documents""".stripMargin))
+
+  private val mediaMeta = Q(
+    (s, dir) => Multimodal.mediaMeta(docs(s, dir)),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS media_type,
+           |  CAST(16 + length(text) % 97 AS BIGINT) AS width,
+           |  CAST(16 + (length(text) * 7) % 89 AS BIGINT) AS height,
+           |  CAST(1 + length(text) % 5 AS BIGINT) AS n_frames
+           |FROM documents""".stripMargin))
+
+  private val mediaFrames = Q(
+    (s, dir) => Multimodal.frameSample(docs(s, dir), stride = 2),
+    Some("""WITH m AS (
+           |  SELECT doc_id, CAST(1 + length(text) % 5 AS BIGINT) AS n_frames
+           |  FROM documents WHERE doc_id % 3 = 2)
+           |SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx FROM m""".stripMargin))
+
+  private val mediaFeatures = Q(
+    (s, dir) => Multimodal.decodeFeatures(s, docs(s, dir)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"),
+        col("checksum")),
+    None) // fake-decoder internals; batch shape + determinism in OpsSpec
+
+  private val eventsHourly = Q(
+    (s, dir) => s.read.parquet(s"$dir/events.parquet")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 3).as("sum_value")),
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           |  event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(value), 3) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_bow" -> dedupBow,
+    "ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embed" -> dedupEmbed,
+    "ann_brute_top1" -> annBrute,
+    "ann_lsh_topk" -> annLsh,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "media_meta" -> mediaMeta,
+    "media_frames" -> mediaFrames,
+    "media_features" -> mediaFeatures,
+    "events_hourly" -> eventsHourly
+  )
+}

@@ -17,13 +17,19 @@ object SparkEntry {
     Queries.queries("codec_auto")(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def merged: Map[String, Queries.Q] = Queries.all ++ OpsQueries.all
+
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * training-data pipeline ops (dedup / similarity / text / multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries
+    merged.map { case (k, q) => k -> q.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for engine-internal ops (encoded
-    * sizes, codec distribution) → rows-only check.
+    * the same parquet tables. Omitted for engine-internal/approximate ops
+    * (encoded sizes, LSH candidates, fake media decode) → rows-only check;
+    * those are verified against exact baselines in the ScalaTest suites.
     */
-  def oracleSql: Map[String, String] = Queries.oracleSql
+  def oracleSql: Map[String, String] =
+    merged.collect { case (k, Queries.Q(_, Some(o))) => k -> o }
 }

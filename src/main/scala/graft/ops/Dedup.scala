@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * table. All are declarative DataFrame pipelines: candidate generation
+  * shuffles only on small bucket keys (band hashes / simhash chunks), never
+  * on raw text, so they scale to web corpora; verification joins stay on
+  * candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest; keeper = min doc_id
+    * (deterministic). Map-side partial aggregation makes this a single
+    * cheap shuffle of (digest, doc_id) pairs.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text").cast("binary")).as("digest"), col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Bag-of-words dedup: same pipeline keyed on the sorted word multiset —
+    * catches word-order shuffles that exact dedup misses.
+    */
+  def bagOfWords(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        md5(concat_ws(" ", sort_array(split(col("text"), " "))).cast("binary")).as("digest"),
+        col("doc_id"))
+      .groupBy("digest")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k per-seed min-hashes over 3-word shingles, computed
+    * shuffle-free with higher-order functions (no explode of shingles).
+    */
+  def withMinhash(docs: DataFrame, k: Int = 32): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(words) >= 3 THEN
+          |  transform(sequence(0, size(words) - 3),
+          |    i -> concat_ws(' ', element_at(words, i + 1),
+          |                        element_at(words, i + 2),
+          |                        element_at(words, i + 3)))
+          |ELSE array(concat_ws(' ', words)) END""".stripMargin))
+      .withColumn("minhash", expr(
+        s"""transform(sequence(0, ${k - 1}),
+           |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))""".stripMargin))
+      .drop("words", "shingles")
+
+  /** MinHash + LSH near-dup candidates: signatures banded into
+    * `bands` groups of `k/bands` rows; docs sharing any band bucket become a
+    * candidate pair; estimated Jaccard = matching signature fraction.
+    * Shuffles only (band_id, band_hash, doc_id) triples + a signature join
+    * on the (small) candidate set.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = withMinhash(docs, k).select("doc_id", "minhash")
+    val buckets = sig
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', slice(minhash, b * $rows + 1, $rows))))"))
+          .as(Seq("band_id", "band_hash")))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
+      .withColumn("est_jaccard", expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)")
+        .cast("double") / lit(k))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Exact word-trigram Jaccard for candidate pairs gated on (lang,
+    * n_chars) equality — the verification stage after LSH in a real
+    * pipeline, expressed portably so the DuckDB oracle can replay it.
+    * jac_pct = floor(100 * |∩| / |∪|) over distinct trigrams.
+    */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """array_distinct(CASE WHEN size(words) >= 3 THEN
+          |  transform(sequence(0, size(words) - 3),
+          |    i -> concat_ws(' ', element_at(words, i + 1),
+          |                        element_at(words, i + 2),
+          |                        element_at(words, i + 3)))
+          |ELSE array(concat_ws(' ', words)) END)""".stripMargin))
+      .select("doc_id", "lang", "n_chars", "grams")
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.n_chars") === col("b.n_chars") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(floor(100.0 * size(array_intersect(a.grams, b.grams)) / size(array_union(a.grams, b.grams))) AS BIGINT)")
+          .as("jac_pct"))
+  }
+
+  /** 64-bit SimHash per doc, computed shuffle-free: per-word hash bit votes
+    * folded with zip_with; near-dup candidates pair on any equal 16-bit
+    * chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then exact hamming
+    * via bit_count(xor).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("votes", expr(
+        """aggregate(words, array_repeat(0, 64),
+          |  (acc, w) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      j -> CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN 1 ELSE -1 END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(transform(sequence(0, 63),
+          |    j -> CASE WHEN element_at(votes, j + 1) > 0 THEN shiftleft(1L, j) ELSE 0L END),
+          |  0L, (a, b) -> a | b)""".stripMargin))
+      .drop("words", "votes")
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(docs).select("doc_id", "simhash")
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
+        .as(Seq("chunk_id", "chunk")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by
+    * random-hyperplane LSH (see [[Ann.hyperplaneBuckets]]) so the pair join
+    * never goes quadratic in the corpus.
+    */
+  def embeddingPairs(embeds: DataFrame, threshold: Double = 0.95,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    val unit = Ann.normalized(embeds).select(col("vec_id"), col("unit"))
+    val idx = Ann.lshIndex(unit, planes, tables)
+      .select("vec_id", "table_id", "bucket")
+    val candidates = idx.as("a")
+      .join(idx.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(unit.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("unit", "unit_a"), "vec_a")
+      .join(unit.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("unit", "unit_b"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), Ann.dot(col("unit_a"), col("unit_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

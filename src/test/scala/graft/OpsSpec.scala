@@ -1,0 +1,115 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data op tests: the approximate operators (MinHash LSH, SimHash,
+  * hyperplane ANN, fake media decode) verified against exact baselines on
+  * sf0.001 — the oracle-less counterpart of the DuckDB-checked queries.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val embeds = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("minhash estimate tracks exact trigram jaccard on duplicated docs") {
+    // append exact + near duplicates of the first docs
+    val dups = docs.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 100000)
+    val corpus = docs.unionByName(dups)
+    val pairs = Dedup.minhashPairs(corpus, minEstJaccard = 0.9)
+      .filter($"doc_b" === $"doc_a" + 100000)
+    // every exact duplicate must surface with estimate 1.0
+    assert(pairs.count() == 10)
+    assert(pairs.filter($"est_jaccard" < 1.0).count() == 0)
+  }
+
+  test("minhash high-estimate pairs are confirmed by exact trigram jaccard") {
+    // the synthetic corpus has tiny-vocab short docs, so some genuinely
+    // similar pairs exist; every confident MinHash estimate must be backed
+    // by real shingle overlap (estimator consistency, not absence)
+    val est = Dedup.minhashPairs(docs, minEstJaccard = 0.9)
+    val exact = Dedup.ngramJaccard(docs.withColumn("lang", lit("x"))
+        .withColumn("n_chars", lit(0)))
+      .select($"doc_a", $"doc_b", $"jac_pct")
+    val joined = est.join(exact, Seq("doc_a", "doc_b"), "left")
+    assert(joined.filter($"jac_pct".isNull || $"jac_pct" < 50).count() == 0)
+  }
+
+  test("simhash: identical docs collide, hamming is symmetric-sane") {
+    val sig = Dedup.simhash(docs).select("doc_id", "simhash")
+    val dupSig = Dedup.simhash(
+      docs.filter($"doc_id" < 5).withColumn("doc_id", $"doc_id" + 100000))
+    val joined = sig.join(dupSig.withColumnRenamed("doc_id", "dup_id"),
+      sig("doc_id") + 100000 === col("dup_id") - 0)
+      .filter(sig("simhash") =!= dupSig("simhash"))
+    assert(joined.count() == 0)
+  }
+
+  test("ann lsh recall vs brute force") {
+    val probes = embeds.filter($"vec_id" < 50)
+    val brute = Ann.bruteForceTopK(embeds, probes, k = 5)
+      .select($"probe_id", $"nbr_id")
+    val lsh = Ann.lshTopK(embeds, probes, k = 5, planes = 4, tables = 8)
+      .select($"probe_id", $"nbr_id")
+    val hit = brute.intersect(lsh).count().toDouble
+    val recall = hit / brute.count()
+    // 8 OR-amplified tables of 4 sign bits: near-orthogonal random vectors
+    // are LSH's worst case, but recall must sit far above the single-bucket
+    // random baseline (1/16 of the corpus ≈ 6%).
+    assert(recall > 0.4, s"recall $recall")
+  }
+
+  test("embedding near-dup pairs match the exact threshold set") {
+    val exactPairs = {
+      val n = Ann.normalized(embeds).select($"vec_id", $"unit")
+      n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos", Ann.dot($"a.unit", $"b.unit"))
+        .filter($"cos" >= 0.3)
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+    }
+    val lshPairs = Dedup.embeddingPairs(embeds, threshold = 0.3, planes = 4)
+      .select("vec_a", "vec_b")
+    // LSH output must be a subset of the exact pair set (no false accepts —
+    // cosine is re-checked on candidates) with nonzero recall
+    assert(lshPairs.exceptAll(exactPairs).count() == 0)
+    val exact = exactPairs.count()
+    if (exact > 0) {
+      val recall = lshPairs.count().toDouble / exact
+      assert(recall > 0.1, s"recall $recall")
+    }
+  }
+
+  test("media decode: batch shape, determinism, feature schema") {
+    val f1 = Multimodal.decodeFeatures(spark, docs, batchSize = 7).collect()
+      .sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(spark, docs.repartition(13), batchSize = 64)
+      .collect().sortBy(_.doc_id)
+    assert(f1.length == docs.count())
+    assert(f1.map(_.doc_id).sameElements(f2.map(_.doc_id)))
+    // batch size / partitioning must not change the decoded output
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.checksum == b.checksum && a.features.sameElements(b.features))
+    }
+    assert(f1.forall(f => f.features.length == 8 &&
+      f.features.forall(v => v >= 0f && v <= 1f)))
+    assert(f1.map(_.media_type).distinct.sorted.sameElements(Array("audio", "image", "video")))
+  }
+
+  test("exact + bag-of-words dedup: duplicates collapse to one keeper") {
+    val dups = docs.filter($"doc_id" < 7).withColumn("doc_id", $"doc_id" + 100000)
+    val corpus = docs.unionByName(dups)
+    val ex = Dedup.exact(corpus)
+    assert(ex.filter($"n_copies" === 2).count() == 7)
+    assert(ex.agg(sum("n_copies")).collect()(0).getLong(0) == corpus.count())
+    // keeper is the smallest doc_id of each group
+    assert(ex.filter($"n_copies" === 2).filter($"doc_id" >= 100000).count() == 0)
+    val bow = Dedup.bagOfWords(corpus)
+    assert(bow.filter($"n_copies" >= 2).count() >= 7)
+  }
+}
