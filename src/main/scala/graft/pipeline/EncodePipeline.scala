@@ -35,7 +35,10 @@ object EncodePipeline {
       outDir: String,
       targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
       saltBuckets: Int = 16,
-      maxPartitionsPerRun: Int = Int.MaxValue) // bound a run (resume testing / backfill waves)
+      maxPartitionsPerRun: Int = Int.MaxValue, // bound a run (resume testing / backfill waves)
+      partPrefix: String = "") // scopes part_keys (e.g. streaming batch id) so
+                               // different input slices can't collide on
+                               // positional bin keys
 
   final case class RunSummary(
       runId: String,
@@ -56,11 +59,14 @@ object EncodePipeline {
   def plan(tokens: DataFrame, cfg: Config): DataFrame = {
     val w = Window.partitionBy("source", "salt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyParts =
+      (if (cfg.partPrefix.nonEmpty) Seq(lit(cfg.partPrefix)) else Seq.empty) ++
+        Seq(col("source"), col("salt"), col("bin"))
     tokens
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)).cast("int"))
       .withColumn("bin",
         floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(cfg.targetBinTokens)))
-      .withColumn("part_key", concat_ws("/", col("source"), col("salt"), col("bin")))
+      .withColumn("part_key", concat_ws("/", keyParts: _*))
   }
 
   /** Execute one run: encode + commit all not-yet-committed partitions

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.pipeline.EncodePipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference is
+  * batch-only; its streaming-adjacent semantics map here:
+  *  - reorg buffer / late data  → watermark on the event-time column;
+  *  - resumable chunk skip      → foreachBatch into the manifest sink
+  *    (exactly-once per partition via the snapshot commit protocol);
+  *  - incomplete-report marker  → commit marker written after each batch.
+  */
+object StreamingEncode {
+
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Micro-batch encode: stream of token rows → EncodePipeline per batch.
+    * The manifest sink's anti-join-on-committed-partitions makes replayed
+    * batches idempotent (exactly-once per partition), the streaming analog
+    * of the reference's skip-existing resume (freeze.rs:96-109).
+    */
+  def encodeStream(spark: SparkSession, inputDir: String,
+      cfg: EncodePipeline.Config): DataStreamWriter[org.apache.spark.sql.Row] = {
+    spark.readStream
+      .schema(tokenSchema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // micro-batches run on a cloned session: register + run on it.
+        // part_keys are scoped by batchId: the stream checkpoint pins
+        // (batchId -> file set), so a replayed batch re-derives identical
+        // keys (idempotent via the manifest anti-join) while distinct
+        // batches can never collide on positional bin keys.
+        if (!batch.isEmpty) {
+          EncodePipeline.run(batch.sparkSession, batch,
+            cfg.copy(partPrefix = s"b$batchId"))
+          ()
+        }
+      }
+      .option("checkpointLocation", s"${cfg.outDir}/_stream_checkpoint")
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Watermarked sliding-window aggregation over the events table — the
+    * windowed-agg streaming shape (guide §Structured Streaming).
+    */
+  def eventCounts(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(inputDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Stateful streaming dedup on doc_id within the watermark — the
+    * `dropDuplicates` state-store shape used for ingest-time exact dedup.
+    */
+  def dedupStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(tokenSchema)
+      .parquet(inputDir)
+      .dropDuplicates("doc_id")
+
+  def runToCompletion(q: StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+}
