@@ -55,7 +55,7 @@ object OpsQueries {
     None) // LSH internals: verified vs exact jaccard in OpsSpec
 
   private val dedupSimhash = Q(
-    (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 20),
+    (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12),
     None)
 
   private val dedupEmbed = Q(

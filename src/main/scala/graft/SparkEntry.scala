@@ -9,12 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: the full encode pipeline (stats → codec auto-select → encode
-    * → lineage) on the sf0.001 token table; driver smoke-checks rows>0.
+  /** Flagship: the full encode pipeline — salted bin-packing partition plan
+    * → codec auto-select → encode → checkpointed manifest sink — on the
+    * sf0.001 token table, returning the per-partition lineage + metrics
+    * rows; driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Queries.queries("codec_auto")(spark, "/root/testdata/sf0.001")
+    val tokens = graft.sources.Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    graft.pipeline.EncodePipeline.run(spark, tokens,
+      graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 1L << 16))
+    graft.sinks.ManifestSink.committedManifest(spark, out)
   }
 
   private def merged: Map[String, Queries.Q] = Queries.all ++ OpsQueries.all

@@ -168,13 +168,13 @@ object DictCodec extends Codec {
   def encodePayload(xs: Array[Int], w: ByteWriter): Unit = {
     w.writeVarLong(xs.length.toLong)
     if (xs.isEmpty) return
-    val index = new java.util.HashMap[Int, Int](64)
+    val index = new IntIntMap(64)
     val dict = new scala.collection.mutable.ArrayBuffer[Int](64)
     val ids = new Array[Int](xs.length)
     var i = 0
     while (i < xs.length) {
       val v = xs(i)
-      var id = index.getOrDefault(v, -1)
+      var id = index.getOrElse(v, -1)
       if (id < 0) { id = dict.length; index.put(v, id); dict += v }
       ids(i) = id
       i += 1

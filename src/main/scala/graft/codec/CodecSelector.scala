@@ -39,7 +39,7 @@ object ColumnStats {
     var maxD = Long.MinValue
     var rleBytes = 0L
     var dictBytes = Bytes.zigZagLen(xs(0).toLong)
-    val seen = new java.util.HashSet[Int](256)
+    val seen = new IntHashSet(math.min(xs.length, 256))
     seen.add(xs(0))
     var capped = false
     var runStart = 0
@@ -104,9 +104,10 @@ object CodecSelector extends Serializable {
         base :+ (DictCodec -> dict)
       }
     // FSST only pays off when the best integer codec still needs ≳2.5 B/token
-    // (decimal strings must compress below that); probe a bounded sample.
+    // (decimal strings must compress below that) and the array is long
+    // enough to amortize a serialized symbol table; probe a bounded sample.
     val bestSoFar = withDict.map(_._2).min
-    if (n >= 16 && bestSoFar > n.toLong * 5 / 2)
+    if (n >= 256 && bestSoFar > n.toLong * 5 / 2)
       withDict :+ (FsstCodec -> FsstCodec.probeSize(xs))
     else withDict
   }

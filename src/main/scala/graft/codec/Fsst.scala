@@ -8,13 +8,15 @@ package graft.codec
   * pair merging (the paper's bottom-up construction) on a deterministic
   * prefix sample; greedy longest-match encoding; escape byte 0xFF for
   * literals; unused symbols pruned from the serialized table (per-row blobs
-  * make table bytes precious). Applied to token columns whose stringified
-  * ids share long prefixes/suffixes (SURVEY.md §7 Phase 1).
+  * make table bytes precious).
   *
-  * Symbols are manipulated as Long-packed keys (len in the top byte, up to
-  * 7 payload bytes little-endian) — no per-lookup allocation. Training is a
-  * pure function of the array prefix, so encoded bytes are deterministic
-  * across parallelism levels (SURVEY.md §7 "Hard parts" #4).
+  * Symbols are Long-packed keys (length in the top byte, ≤7 payload bytes
+  * little-endian) looked up through primitive open-addressing maps — the
+  * encode path allocates no boxed objects, which is what lets 32 encode
+  * threads scale (boxed HashMaps collapsed under allocation pressure).
+  *
+  * Training is a pure function of the array prefix, so encoded bytes are
+  * deterministic across parallelism levels (SURVEY.md §7 "Hard parts" #4).
   *
   * Stream form: each token rendered as decimal ASCII followed by ','
   * (including after the last token).
@@ -75,17 +77,18 @@ object FsstCodec extends Codec {
     out
   }
 
-  private type SymMap = java.util.HashMap[java.lang.Long, Integer]
-
-  /** Longest symbol match at `bytes(i)`, or 0 if none. */
-  @inline private def longestMatch(bytes: Array[Byte], i: Int, limit: Int,
-      codeOf: SymMap): Int = {
+  /** Longest symbol match at `bytes(i)`: returns (len << 16) | code, or -1.
+    * (codes < 2^16, len ≤ 7 — fits an Int.)
+    */
+  @inline private def matchAt(bytes: Array[Byte], i: Int, limit: Int,
+      codeOf: LongIntMap): Int = {
     var len = math.min(MaxSymLen, limit - i)
     while (len >= 1) {
-      if (codeOf.containsKey(pack(bytes, i, len))) return len
+      val c = codeOf.getOrElse(pack(bytes, i, len), -1)
+      if (c >= 0) return (len << 16) | c
       len -= 1
     }
-    0
+    -1
   }
 
   /** Iterative FSST training: start from an empty table (all literals);
@@ -93,12 +96,12 @@ object FsstCodec extends Codec {
     * unit + merged-adjacent-pair gains on segment boundaries (no overlap
     * double-counting), keep the top [[MaxSymbols]] candidates. Ties broken
     * deterministically by (gain desc, len desc, packed key asc).
-    * Returns packed symbol keys, code = array index.
+    * Returns packed symbol keys; code = array index.
     */
   private[codec] def trainPacked(stream: Array[Byte]): Array[Long] = {
     val limit = math.min(stream.length, SampleBytes)
     if (limit == 0) return Array.empty
-    var codeOf: SymMap = new java.util.HashMap()
+    var codeOf = new LongIntMap(16)
     var table: Array[Long] = Array.empty
     val offs = new Array[Int](limit + 1)
     var iter = 0
@@ -108,54 +111,51 @@ object FsstCodec extends Codec {
       var i = 0
       while (i < limit) {
         offs(nUnits) = i
-        val m = longestMatch(stream, i, limit, codeOf)
-        i += (if (m == 0) 1 else m)
+        val m = matchAt(stream, i, limit, codeOf)
+        i += (if (m < 0) 1 else m >>> 16)
         nUnits += 1
       }
       offs(nUnits) = limit
       // count gains of units and merged adjacent pairs
-      val gains = new java.util.HashMap[java.lang.Long, java.lang.Long](1024)
-      def credit(key: Long, len: Int): Unit = {
-        val g: Long = if (len == 1) 1L else (len - 1).toLong
-        val cur = gains.get(key)
-        gains.put(key, if (cur == null) g else cur + g)
-      }
+      val gains = new LongLongMap(1024)
       var u = 0
       while (u < nUnits) {
         val off = offs(u)
         val len = offs(u + 1) - off
-        credit(pack(stream, off, len), len)
+        gains.addTo(pack(stream, off, len), if (len == 1) 1L else (len - 1).toLong)
         if (u + 1 < nUnits) {
           val mergedLen = offs(u + 2) - off
-          if (mergedLen <= MaxSymLen) credit(pack(stream, off, mergedLen), mergedLen)
+          if (mergedLen <= MaxSymLen)
+            gains.addTo(pack(stream, off, mergedLen), (mergedLen - 1).toLong)
         }
         u += 1
       }
-      // select top candidates
-      val entries = new java.util.ArrayList[java.util.Map.Entry[java.lang.Long, java.lang.Long]](gains.size)
-      gains.forEach { (k, g) =>
-        val len = (k.longValue >>> 56).toInt
-        if (g >= 2L * len) entries.add(java.util.Map.entry(k, g)) // amortize table cost
+      // select top candidates (gain must amortize serialized table cost)
+      val mKeys = new Array[Long](gains.size)
+      val mGains = new Array[Long](gains.size)
+      var m = 0
+      var s = 0
+      while (s < gains.keys.length) {
+        if (gains.used(s)) {
+          val k = gains.keys(s)
+          val g = gains.vals(s)
+          if (g >= 2L * (k >>> 56)) { mKeys(m) = k; mGains(m) = g; m += 1 }
+        }
+        s += 1
       }
-      val arr = entries.toArray(new Array[java.util.Map.Entry[java.lang.Long, java.lang.Long]](entries.size))
-      java.util.Arrays.sort(arr,
-        (a: java.util.Map.Entry[java.lang.Long, java.lang.Long],
-         b: java.util.Map.Entry[java.lang.Long, java.lang.Long]) => {
-          val ga = a.getValue.longValue; val gb = b.getValue.longValue
-          if (ga != gb) java.lang.Long.compare(gb, ga)
-          else {
-            val la = (a.getKey.longValue >>> 56).toInt
-            val lb = (b.getKey.longValue >>> 56).toInt
-            if (la != lb) Integer.compare(lb, la)
-            else java.lang.Long.compare(a.getKey.longValue, b.getKey.longValue)
-          }
-        })
-      val n = math.min(arr.length, MaxSymbols)
+      val idx = Array.range(0, m)
+      // sort by (gain desc, len desc, key asc) — deterministic
+      val sorted = idx.sortWith { (a, b) =>
+        if (mGains(a) != mGains(b)) mGains(a) > mGains(b)
+        else if ((mKeys(a) >>> 56) != (mKeys(b) >>> 56)) (mKeys(a) >>> 56) > (mKeys(b) >>> 56)
+        else mKeys(a) < mKeys(b)
+      }
+      val n = math.min(m, MaxSymbols)
       table = new Array[Long](n)
-      codeOf = new java.util.HashMap(n * 2)
+      codeOf = new LongIntMap(n * 2)
       var k = 0
       while (k < n) {
-        table(k) = arr(k).getKey.longValue
+        table(k) = mKeys(sorted(k))
         codeOf.put(table(k), k)
         k += 1
       }
@@ -164,24 +164,24 @@ object FsstCodec extends Codec {
     table
   }
 
-  private def buildCodeOf(table: Array[Long]): SymMap = {
-    val m: SymMap = new java.util.HashMap(table.length * 2)
+  private def buildCodeOf(table: Array[Long]): LongIntMap = {
+    val m = new LongIntMap(table.length * 2)
     var s = 0
     while (s < table.length) { m.put(table(s), s); s += 1 }
     m
   }
 
   /** Segment `bytes[0, limit)` into provisional codes: >=0 symbol code,
-    * -(b+1) literal byte b. Returns the code stream.
+    * -(b+1) literal byte b.
     */
-  private def toCodes(bytes: Array[Byte], limit: Int, codeOf: SymMap): Array[Int] = {
+  private def toCodes(bytes: Array[Byte], limit: Int, codeOf: LongIntMap): Array[Int] = {
     val codes = new Array[Int](limit)
     var n = 0
     var i = 0
     while (i < limit) {
-      val m = longestMatch(bytes, i, limit, codeOf)
-      if (m == 0) { codes(n) = -((bytes(i) & 0xff) + 1); i += 1 }
-      else { codes(n) = codeOf.get(pack(bytes, i, m)).intValue; i += m }
+      val m = matchAt(bytes, i, limit, codeOf)
+      if (m < 0) { codes(n) = -((bytes(i) & 0xff) + 1); i += 1 }
+      else { codes(n) = m & 0xffff; i += m >>> 16 }
       n += 1
     }
     java.util.Arrays.copyOf(codes, n)
@@ -267,14 +267,16 @@ object FsstCodec extends Codec {
     val limit = math.min(stream.length, SampleBytes)
     val codes = toCodes(stream, limit, codeOf)
     var encLen = 0L
-    val used = new java.util.HashSet[Integer]()
+    val used = new IntHashSet(64)
+    var tableCost = 2L
     var c = 0
     while (c < codes.length) {
-      if (codes(c) >= 0) { encLen += 1; used.add(codes(c)) } else encLen += 2
+      if (codes(c) >= 0) {
+        encLen += 1
+        if (used.add(codes(c))) tableCost += 1 + (table(codes(c)) >>> 56)
+      } else encLen += 2
       c += 1
     }
-    var tableCost = 2L
-    used.forEach(code => tableCost += 1 + (table(code.intValue) >>> 56))
     val ratio = encLen.toDouble / limit
     (ratio * stream.length + tableCost + Bytes.varLen(xs.length.toLong) + 4).toLong
   }

@@ -129,21 +129,30 @@ object Dedup {
           |  0L, (a, b) -> a | b)""".stripMargin))
       .drop("words", "votes")
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val sig = simhash(docs).select("doc_id", "simhash")
     val chunks = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
         .as(Seq("chunk_id", "chunk")))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    // skip degenerate buckets: a 16-bit chunk shared by >maxBucket docs is a
+    // corpus-wide commonality, not near-duplication, and would go quadratic
+    // (standard LSH bucket cap; bounds worst-case join fan-out)
+    val bounded = chunks.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_id", "chunk")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    bounded.as("a")
+      .join(bounded.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by

@@ -47,8 +47,11 @@ object Tokens {
        | WHEN 2 THEN ($d % 1000) * 4096 + ($d * 2654435761 + $i * 40503) % 251
        | WHEN 3 THEN $i * 3 + ($d * 31 + $i * 17) % 3
        | WHEN 4 THEN (1 + ($d + $i) % 9) * 111111111 + ($d * 11 + $i * 7) % 89
-       | ELSE ($d * 1103515245 + $i * 12345 + 6789) % 2147480009
+       | ELSE ($d * 1103515245 + $i * $i * 999983 + $i * 12345) % 2147480009
        |END""".stripMargin.replace("\n", " ")
+  // profile 5 ("random") carries a quadratic term: an affine function of i
+  // would have constant deltas and FOR-delta would (correctly but
+  // pointlessly) compress it to nothing. All intermediates stay < 2^52.
 
   /** Spark-side token table derived from `documents.parquet` under sfDir. */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions (the "is this the plan you'd want at 100 TB"
+  * checks): filters and projections must reach the parquet scan, small
+  * sides must broadcast, and hot paths must stay inside whole-stage
+  * codegen.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter_source pushes the source predicate into the parquet scan") {
+    val plan = formatted(SparkEntry.queries("filter_source")(spark, dir))
+    assert(plan.contains("PushedFilters: [In(source"), plan)
+  }
+
+  test("project_prune reads only the needed column from parquet") {
+    val plan = formatted(SparkEntry.queries("project_prune")(spark, dir))
+    // n_tok is derived from doc_id; text/lang/n_chars must not be read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
+
+  test("codec roundtrip query reads only doc_id (tokens are derived)") {
+    val plan = formatted(SparkEntry.queries("codec_auto_roundtrip")(spark, dir))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+    // per-row derive→encode→decode→checksum is pure map work: no exchange
+    // anywhere in the plan. (The projection itself is not WSCG-fused
+    // because Spark's own higher-order functions — transform/aggregate used
+    // by the generator/checksum — are CodegenFallback; encode/decode over
+    // parquet-resident tokens DO fuse, asserted in ExpressionSpec.)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("resume anti-join broadcasts the committed-keys side") {
+    val tokens = graft.sources.Tokens.synthetic(spark, 100)
+    val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val cfg = graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 4096)
+    graft.pipeline.EncodePipeline.run(spark, tokens, cfg)
+    val committed = graft.sinks.ManifestSink.committedManifest(spark, out)
+      .select("part_key").distinct()
+    val todo = graft.pipeline.EncodePipeline.plan(tokens, cfg)
+      .join(broadcast(committed), Seq("part_key"), "left_anti")
+    val plan = formatted(todo)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("scan_tokens aggregation is two-phase (partial before the exchange)") {
+    val plan = formatted(SparkEntry.queries("scan_tokens")(spark, dir))
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final): map-side
+    // combine bounds the shuffle by |sources|, not |docs|
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("ann brute force broadcasts the probe side") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Ann.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 1)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}
