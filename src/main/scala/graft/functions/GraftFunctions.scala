@@ -23,6 +23,16 @@ object GraftFunctions {
       exprs => CodecOf(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_stats",
       exprs => TokenStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => Simhash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_normalize",
+      exprs => VecNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_buckets",
+      exprs => HyperplaneBuckets(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "scala_udf")
   }
 
   def encode_tokens(tokens: Column, codec: String): Column =

@@ -191,3 +191,237 @@ private[functions] object TokenExprs {
     else TypeCheckResult.TypeCheckFailure(
       s"$name expects a binary blob, got ${dt.sql}")
 }
+
+/** hyperplane_buckets(unit array<double>, planes, tables) -> array<long> —
+  * one sign-bit LSH bucket per table from deterministic pseudo-random
+  * hyperplanes (splitmix64-derived weights, a pure function of
+  * (table, plane, dim)). A native expression because the equivalent
+  * higher-order-function formulation pays interpreted-lambda overhead per
+  * (table × plane × dim) — ~2048 expression evals per row.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(unit: Any): Any = {
+    val v = unit.asInstanceOf[ArrayData].toDoubleArray()
+    UnsafeArrayData.fromPrimitiveArray(
+      HyperplaneBuckets.buckets(v, planes, tables))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "graft.functions.HyperplaneBuckets"
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($cls.buckets($arr.toDoubleArray(), $planes, $tables));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HyperplaneBuckets {
+  /** splitmix64 → uniform double in [-0.5, 0.5). */
+  @inline private def weight(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** Java-callable kernel (used from generated code). */
+  def buckets(v: Array[Double], planes: Int, tables: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) {
+          dot += v(d) * weight(((t * 64 + p).toLong << 20) | d)
+          d += 1
+        }
+        if (dot > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+}
+
+/** vec_dot(a array<double>, b array<double>) -> double. Native because the
+  * zip_with/aggregate formulation is CodegenFallback with per-element
+  * lambda interpretation — two orders of magnitude slower on 64-dim
+  * embeddings, and recomputed at every plan reference.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<double> args")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray())
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.dot($a.toDoubleArray(), $b.toDoubleArray());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** vec_normalize(a array<float|double>) -> array<double>: L2 unit vector. */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${dt.sql}")
+  }
+
+  private val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val v = if (isFloat) {
+      val f = arr.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+      d
+    } else arr.toDoubleArray()
+    UnsafeArrayData.fromPrimitiveArray(VecKernels.normalize(v))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val conv = if (isFloat) "graft.functions.VecKernels.toDouble($arr.toFloatArray())"
+      else "$arr.toDoubleArray()"
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.VecKernels.normalize(${conv.replace("$arr", arr)}));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object VecKernels {
+  def toDouble(f: Array[Float]): Array[Double] = {
+    val d = new Array[Double](f.length)
+    var i = 0
+    while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+    d
+  }
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dot(v, v))
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) / n; i += 1 }
+    out
+  }
+}
+
+/** simhash64(words array<string>) -> long: 64-bit SimHash (Charikar'02) of
+  * the word multiset — per-word 64-bit hash bit-votes, sign-aggregated.
+  * Native because the higher-order formulation evaluates an interpreted
+  * hash expression per (word × bit): ~64× redundant hashing.
+  */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    java.lang.Long.valueOf(Simhash64.compute(words.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.Simhash64.compute($arr);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object Simhash64 {
+
+  /** Java-callable kernel (used from generated code). */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic 64-bit byte-string hash (FNV-1a core + splitmix
+    * finalizer) — stable across runs/JVMs, strong bit diffusion.
+    */
+  def hash64(bytes: Array[Byte]): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}

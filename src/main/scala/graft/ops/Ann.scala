@@ -15,43 +15,37 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** sum(x*y) over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** sum(x*y) over two array<double> columns (native codegen'd kernel). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Adds `unit`: the L2-normalized double vector (cosine = dot of units). */
   def normalized(embeds: DataFrame): DataFrame = {
-    val asDouble = col("embedding").cast("array<double>")
+    graft.functions.GraftFunctions.register(embeds.sparkSession)
     embeds.withColumn("unit",
-      zip_with(asDouble, array_repeat(norm(asDouble), size(col("embedding"))),
-        (x, n) => x / n))
+      call_function("vec_normalize", col("embedding").cast("array<double>")))
   }
 
   /** Per-table sign-bit buckets from deterministic pseudo-random
-    * hyperplanes: plane (t, p), dim d weight = xxhash64-derived uniform in
-    * [-0.5, 0.5). Pure function of (tables, planes, dim) — identical across
-    * executors, no runtime randomness.
+    * hyperplanes (splitmix64-derived weights - a pure function of
+    * (table, plane, dim), identical across executors). Backed by the
+    * native [[graft.functions.HyperplaneBuckets]] expression: an equivalent
+    * higher-order-function formulation pays interpreted-lambda overhead per
+    * (table x plane x dim) evaluation, ~2048 expression evals per row.
     */
-  def bucketsExpr(planes: Int, tables: Int): Column = expr(
-    s"""transform(sequence(0, ${tables - 1}), t ->
-       |  aggregate(transform(sequence(0, ${planes - 1}), p ->
-       |    CASE WHEN aggregate(
-       |      zip_with(unit, transform(sequence(0, size(unit) - 1),
-       |        d -> CAST(xxhash64((t * 64 + p) * 4096 + d) % 1000000 AS DOUBLE) / 1000000.0 - 0.5),
-       |      (x, w) -> x * w), 0.0D, (a, v) -> a + v) > 0
-       |    THEN shiftleft(1L, p) ELSE 0L END), 0L, (a, b) -> a | b))""".stripMargin)
+  def bucketsExpr(planes: Int, tables: Int): Column =
+    call_function("hyperplane_buckets", col("unit"), lit(planes), lit(tables))
 
   /** Exploded (table_id, bucket) rows per vector — the LSH index shape the
     * candidate joins shuffle on (never the vectors themselves beyond the
     * final candidate scoring).
     */
-  def lshIndex(embedsWithUnit: DataFrame, planes: Int, tables: Int): DataFrame =
+  def lshIndex(embedsWithUnit: DataFrame, planes: Int, tables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embedsWithUnit.sparkSession)
     embedsWithUnit
       .withColumn("buckets", bucketsExpr(planes, tables))
       .select(col("*"), posexplode(col("buckets")).as(Seq("table_id", "bucket")))
       .drop("buckets")
+  }
 
   /** Brute-force cosine top-k: probes (small, broadcast) × corpus, ranked
     * per probe. O(|probes| × |corpus|) with no shuffle on the corpus side

@@ -109,25 +109,16 @@ object Dedup {
           .as("jac_pct"))
   }
 
-  /** 64-bit SimHash per doc, computed shuffle-free: per-word hash bit votes
-    * folded with zip_with; near-dup candidates pair on any equal 16-bit
-    * chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), then exact hamming
-    * via bit_count(xor).
+  /** 64-bit SimHash per doc (Charikar'02), computed shuffle-free by the
+    * native [[graft.functions.Simhash64]] expression; near-dup candidates
+    * pair on any equal 16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk
+    * equal), then exact hamming via bit_count(xor).
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("votes", expr(
-        """aggregate(words, array_repeat(0, 64),
-          |  (acc, w) -> zip_with(acc,
-          |    transform(sequence(0, 63),
-          |      j -> CASE WHEN (shiftright(xxhash64(w), j) & 1) = 1 THEN 1 ELSE -1 END),
-          |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(transform(sequence(0, 63),
-          |    j -> CASE WHEN element_at(votes, j + 1) > 0 THEN shiftleft(1L, j) ELSE 0L END),
-          |  0L, (a, b) -> a | b)""".stripMargin))
-      .drop("words", "votes")
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("simhash",
+      call_function("simhash64", split(col("text"), " ")))
+  }
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {

@@ -81,18 +81,24 @@ object EncodePipeline {
     val committedKeys = ManifestSink.committedManifest(spark, cfg.outDir)
       .select("part_key").distinct()
 
+    // Partition-key metadata (tiny: one row per partition) is persisted so
+    // the plan/skip/limit accounting never re-derives the input; the heavy
+    // input itself is computed exactly twice per run — once here for the
+    // key set, once below for the encode pass (the reference's plan-then-
+    // collect shape, freeze.rs:26-125).
+    val plannedKeys = planned.select("part_key").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog)
-    var todo = planned.join(broadcast(committedKeys), Seq("part_key"), "left_anti")
-    val nPlanned = planned.select("part_key").distinct().count()
-    val nTodo = todo.select("part_key").distinct().count()
+    var todoKeys = plannedKeys.join(broadcast(committedKeys), Seq("part_key"), "left_anti")
+    val nTodo = todoKeys.count()
     val nSkipped = nPlanned - nTodo // previously committed (≠ deferred below)
     if (cfg.maxPartitionsPerRun != Int.MaxValue) {
-      val keys = todo.select("part_key").distinct()
-        .orderBy("part_key").limit(cfg.maxPartitionsPerRun)
-      todo = todo.join(broadcast(keys), Seq("part_key"), "left_semi")
+      todoKeys = todoKeys.orderBy("part_key").limit(cfg.maxPartitionsPerRun)
     }
 
-    val encoded = todo
+    val encoded = planned
+      .join(broadcast(todoKeys), Seq("part_key"), "left_semi")
       .repartition(col("part_key"))
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
@@ -139,6 +145,7 @@ object EncodePipeline {
       summary
     } finally {
       encoded.unpersist()
+      plannedKeys.unpersist()
     }
   }
 

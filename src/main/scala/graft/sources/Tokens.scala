@@ -30,11 +30,13 @@ object Tokens {
     */
   val ChecksumMod = 1000000007L
 
-  /** n_tok formula over a bigint doc id `{D}`: 16..256 tokens, with giant
-    * heavy-tail arrays (4096..7168) every 97th doc (skew per north rule).
+  /** n_tok formula over a bigint doc id `{D}`: 16..536 tokens (long enough
+    * that FSST's symbol table can amortize on the stringy stripe), with
+    * giant heavy-tail arrays (4096..7168) every 97th doc (skew per north
+    * rule).
     */
   def nTokSql(d: String): String =
-    s"CASE WHEN $d % 97 = 0 THEN 4096 + ($d % 7) * 512 ELSE 16 + ($d * 37) % 241 END"
+    s"CASE WHEN $d % 97 = 0 THEN 4096 + ($d % 7) * 512 ELSE 16 + ($d * 37) % 521 END"
 
   /** Token value formula over bigint doc id `{D}` and bigint position `{I}`.
     * All arithmetic stays in non-negative i64 (< 2^62 intermediates), and
@@ -107,7 +109,7 @@ object Tokens {
         // heavy tail rides the hot source: every 31st web doc is giant
         """CAST(CASE WHEN u < 60 AND doc_id % 31 = 0
           |  THEN 8192 + (doc_id % 13) * 1024
-          |  ELSE 16 + (doc_id * 37) % 241 END AS INT)""".stripMargin))
+          |  ELSE 16 + (doc_id * 37) % 521 END AS INT)""".stripMargin))
       .withColumn("tokens",
         expr(s"CAST(transform(sequence(0L, CAST(n_tok AS BIGINT) - 1), i -> ${genSql("doc_id", "i")}) AS array<int>)"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("tokens"))

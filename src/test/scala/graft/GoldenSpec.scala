@@ -15,7 +15,7 @@ class GoldenSpec extends AnyFunSuite {
 
   /** Deterministic fixture mirroring the row profiles (doc_id 0..59). */
   private def fixture(d: Int): Array[Int] = {
-    val n = if (d % 20 == 0) 4096 else 16 + (d * 37) % 241
+    val n = if (d % 20 == 0) 4096 else 16 + (d * 37) % 521
     Array.tabulate(n) { i =>
       ((d % 6) match {
         case 0 => (d + (i / 16) * 131) % 997

@@ -44,7 +44,8 @@ class PipelineSpec extends AnyFunSuite {
   test("resume: bounded runs commit incrementally with zero duplicates") {
     val out = freshDir()
     val tokens = Tokens.synthetic(spark, 500)
-    val cfg = cfgBase.copy(outDir = out, maxPartitionsPerRun = 3)
+    val cfg = cfgBase.copy(outDir = out, maxPartitionsPerRun = 3,
+      targetBinTokens = 16384, saltBuckets = 2)
     val first = EncodePipeline.run(spark, tokens, cfg)
     assert(first.committed == 3 && first.planned > 3)
     val rest = EncodePipeline.runAll(spark, tokens, cfg)
