@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // uncompressed columnar cache: the scaling measurement should expose
+      // encode CPU, not cache-codec CPU
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -38,6 +41,38 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Machine scaling ceiling: fixed pure-arithmetic work (no memory, no
+    * shared state) timed at both thread counts. On this sandbox the
+    * hypervisor gives fewer-active-thread runs faster per-core clocks, so
+    * even a perfectly parallel job cannot show (t_low/t_full) = 4×; this
+    * calibration quantifies that ceiling so encode efficiency can be read
+    * against it.
+    */
+  private def spinEfficiency(lowCpus: Int, cpus: Int, rounds: Int = 3): Double = {
+    def spin(threads: Int): Double = {
+      val work = 4L * 2000000000L / threads
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { _ =>
+        val t = new Thread(() => {
+          var x = 1L
+          var i = 0L
+          while (i < work) { x = x * 25214903917L + 11L; i += 1 }
+          if (x == 42L) print("")
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    var tLow = Double.MaxValue
+    var tFull = Double.MaxValue
+    for (_ <- 1 to rounds) {
+      tLow = math.min(tLow, spin(lowCpus))
+      tFull = math.min(tFull, spin(cpus))
+    }
+    (tLow / tFull) / (cpus.toDouble / lowCpus)
+  }
+
   /** Measured encode throughput on a cached synthetic table: tokens/sec of
     * encode_auto + blob-size aggregation (the hot map stage of the
     * pipeline, no sink IO). Best-of-`reps` — this sandbox VM's cores are
@@ -47,7 +82,7 @@ object Bench {
   private def encodeBench(spark: SparkSession, nDocs: Long, reps: Int): (Long, Long, Double) = {
     graft.functions.GraftFunctions.register(spark)
     val tokens = Tokens.synthetic(spark, nDocs,
-      numPartitions = spark.sparkContext.defaultParallelism * 2).cache()
+      numPartitions = spark.sparkContext.defaultParallelism * 4).cache()
     val nTok = tokens.agg(sum(col("n_tok").cast("long"))).collect()(0).getLong(0)
     // warmup (JIT + cache fill)
     tokens.select(sum(length(expr("encode_auto(tokens)")))).collect()
@@ -72,17 +107,32 @@ object Bench {
     val lowCpus = math.max(1, cpus / 4)
 
     // --- scaling: same job at N and 4N local cores (cluster-size stand-in,
-    // BASELINE.json north_rule); fresh JVM-wide session per level ---
-    val sLow = session(lowCpus)
-    val (nTokLow, _, secsLow) = encodeBench(sLow, nDocs, reps)
-    sLow.stop()
-
+    // BASELINE.json north_rule); fresh JVM-wide session per level. Levels
+    // are INTERLEAVED across rounds and each takes its best time, so a
+    // shared-CPU throttle window on this sandbox cannot bias one level
+    // (observed: identical code swings 0.6↔1.2 efficiency otherwise).
+    var secsLow = Double.MaxValue
+    var secsFull = Double.MaxValue
+    var nTok = 0L
+    var encBytes = 0L
+    val rounds = math.max(1, reps / 2 + 1)
+    for (_ <- 1 to rounds) {
+      val sLow = session(lowCpus)
+      val (n1, _, s1) = encodeBench(sLow, nDocs, 2)
+      sLow.stop()
+      secsLow = math.min(secsLow, s1)
+      val sFull = session(cpus)
+      val (n2, b2, s2) = encodeBench(sFull, nDocs, 2)
+      sFull.stop()
+      secsFull = math.min(secsFull, s2)
+      require(n1 == n2, "generator must be parallelism-independent")
+      nTok = n2; encBytes = b2
+    }
     val spark = session(cpus)
-    val (nTok, encBytes, secsFull) = encodeBench(spark, nDocs, reps)
-    require(nTok == nTokLow, "generator must be parallelism-independent")
     val thrLow = nTok / secsLow
     val thrFull = nTok / secsFull
     val efficiency = (thrFull / thrLow) / (cpus.toDouble / lowCpus)
+    val spinEff = spinEfficiency(lowCpus, cpus)
 
     // --- full pipeline (window + shuffle + manifest sink) ---
     val pipeDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
@@ -124,7 +174,9 @@ object Bench {
         f""""pipeline_tokens_per_sec":${pipeSummary.nTokens / pipeSecs}%.0f,""" +
         f""""pipeline_bytes_per_token":${pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens}%.4f,""" +
         f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"tokens_per_sec_low":${thrLow}%.0f,""" +
-        f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f}}""")
+        f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f,""" +
+        f""""machine_spin_efficiency":$spinEff%.3f,""" +
+        f""""normalized_efficiency":${math.min(1.0, efficiency / spinEff)}%.3f}}""")
     spark.stop()
   }
 }

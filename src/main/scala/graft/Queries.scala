@@ -110,6 +110,36 @@ object Queries {
             |  min(tok) AS tok_min, max(tok) AS tok_max
             |FROM tokv GROUP BY source""".stripMargin))
 
+  /** A4/A1 (partial+final): the TokenStatsAgg custom aggregate — run counts,
+    * value range and sortedness merged associatively across rows and
+    * partitions (two-phase hash aggregation). Oracle recomputes run counts
+    * with a lag window over the exploded stream.
+    */
+  private val statsPartition = Q(
+    (s, dir) => tokens(s, dir)
+      .groupBy("source")
+      .agg(graft.functions.TokenStatsAgg.column(col("tokens")).as("st"))
+      .select(col("source"),
+        col("st.n_rows").as("n_rows"), col("st.n_tokens").as("n_tokens"),
+        col("st.min").as("tok_min"), col("st.max").as("tok_max"),
+        col("st.n_runs").as("n_runs"), col("st.sorted_rows").as("sorted_rows")),
+    Some(s"""${Tokens.duckTokensCte}, lagged AS (
+            |  SELECT source, doc_id, i, tok,
+            |    lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS ptok
+            |  FROM tokv
+            |), perdoc AS (
+            |  SELECT source, doc_id, count(*) AS n_tok, min(tok) AS tmin, max(tok) AS tmax,
+            |    sum(CASE WHEN ptok IS NULL OR tok <> ptok THEN 1 ELSE 0 END) AS n_runs,
+            |    min(CASE WHEN ptok IS NOT NULL AND tok < ptok THEN 0 ELSE 1 END) AS sorted_flag
+            |  FROM lagged GROUP BY source, doc_id
+            |)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            |  min(tmin) AS tok_min, max(tmax) AS tok_max,
+            |  CAST(sum(n_runs) AS BIGINT) AS n_runs,
+            |  CAST(sum(sorted_flag) AS BIGINT) AS sorted_rows
+            |FROM perdoc GROUP BY source""".stripMargin))
+
   /** G8 analog: size-based bin-packing assignment — per-source running
     * token count, binned at 8192 tokens (the partition-planning primitive
     * of the encode pipeline; reference: chunk sizing,
@@ -206,6 +236,7 @@ object Queries {
     "sort_topk" -> sortTopk,
     "explode_tokens" -> explodeTokens,
     "stats_agg" -> statsAgg,
+    "stats_partition" -> statsPartition,
     "binpack_window" -> binpackWindow,
     "encode_plain" -> codecRoundtrip("plain"),
     "encode_rle" -> codecRoundtrip("rle"),

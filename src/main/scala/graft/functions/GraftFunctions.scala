@@ -23,6 +23,9 @@ object GraftFunctions {
       exprs => CodecOf(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_stats",
       exprs => TokenStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinhashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => Simhash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",

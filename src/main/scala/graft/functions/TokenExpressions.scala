@@ -425,3 +425,72 @@ object Simhash64 {
     z ^ (z >>> 31)
   }
 }
+
+/** minhash_signature(words array<string>, k) -> array<long>: k per-seed
+  * minima over 3-word shingle hashes (MinHash, Broder'97). One pass over
+  * the shingles with all k lanes updated per shingle — the higher-order
+  * formulation re-hashed every shingle k times through interpreted
+  * expressions.
+  */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinhashSignature.compute(words.asInstanceOf[ArrayData], k))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.MinhashSignature.compute($arr, $k));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinhashSignature {
+  /** Java-callable kernel: 3-word shingles (whole doc if < 3 words), base
+    * hash per shingle, k lanes derived by splitmix re-mixing with the lane
+    * index — equivalent to k independent hash functions.
+    */
+  def compute(words: ArrayData, k: Int): Array[Long] = {
+    val n = words.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nShingles = math.max(1, n - 2)
+    var i = 0
+    while (i < nShingles) {
+      var h = 1469598103934665603L
+      val end = math.min(n, i + 3)
+      var w = i
+      while (w < end) {
+        val bytes = words.getUTF8String(w).getBytes
+        var b = 0
+        while (b < bytes.length) {
+          h = (h ^ (bytes(b) & 0xffL)) * 1099511628211L
+          b += 1
+        }
+        h = (h ^ 0x20L) * 1099511628211L // word separator
+        w += 1
+      }
+      var lane = 0
+      while (lane < k) {
+        var z = h + (lane + 1).toLong * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < sig(lane)) sig(lane) = z
+        lane += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}

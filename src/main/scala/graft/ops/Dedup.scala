@@ -32,23 +32,16 @@ object Dedup {
       .groupBy("digest")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k per-seed min-hashes over 3-word shingles, computed
-    * shuffle-free with higher-order functions (no explode of shingles).
+  /** MinHash signature: k per-lane min-hashes over 3-word shingles,
+    * computed shuffle-free by the native
+    * [[graft.functions.MinhashSignature]] expression (one pass over the
+    * shingles, all k lanes updated per shingle).
     */
-  def withMinhash(docs: DataFrame, k: Int = 32): DataFrame =
-    docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(words) >= 3 THEN
-          |  transform(sequence(0, size(words) - 3),
-          |    i -> concat_ws(' ', element_at(words, i + 1),
-          |                        element_at(words, i + 2),
-          |                        element_at(words, i + 3)))
-          |ELSE array(concat_ws(' ', words)) END""".stripMargin))
-      .withColumn("minhash", expr(
-        s"""transform(sequence(0, ${k - 1}),
-           |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))""".stripMargin))
-      .drop("words", "shingles")
+  def withMinhash(docs: DataFrame, k: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("minhash",
+      call_function("minhash_signature", split(col("text"), " "), lit(k)))
+  }
 
   /** MinHash + LSH near-dup candidates: signatures banded into
     * `bands` groups of `k/bands` rows; docs sharing any band bucket become a

@@ -62,7 +62,13 @@ object EncodePipeline {
     val keyParts =
       (if (cfg.partPrefix.nonEmpty) Seq(lit(cfg.partPrefix)) else Seq.empty) ++
         Seq(col("source"), col("salt"), col("bin"))
+    // Metadata only: the heavy token arrays must NOT flow through the
+    // window shuffle — at 100 TB that would move the whole corpus an extra
+    // time just to assign bin numbers. (Window group size is bounded by
+    // |sources| × saltBuckets; size saltBuckets so a group's *metadata*
+    // fits one task.)
     tokens
+      .select("doc_id", "source", "n_tok")
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)).cast("int"))
       .withColumn("bin",
         floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(cfg.targetBinTokens)))
@@ -77,17 +83,15 @@ object EncodePipeline {
     val t0 = System.nanoTime()
     val runId = f"run-${ManifestSink.committedRunIds(cfg.outDir).size}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
 
-    val planned = plan(tokens, cfg)
     val committedKeys = ManifestSink.committedManifest(spark, cfg.outDir)
       .select("part_key").distinct()
 
-    // Partition-key metadata (tiny: one row per partition) is persisted so
-    // the plan/skip/limit accounting never re-derives the input; the heavy
-    // input itself is computed exactly twice per run — once here for the
-    // key set, once below for the encode pass (the reference's plan-then-
-    // collect shape, freeze.rs:26-125).
-    val plannedKeys = planned.select("part_key").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-doc partition assignments (slim metadata) are persisted so the
+    // plan/skip/limit accounting and the key join never re-derive the
+    // input; the heavy arrays are read exactly once per run, in the encode
+    // pass (the reference's plan-then-collect shape, freeze.rs:26-125).
+    val plannedParts = plan(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog)
     var todoKeys = plannedKeys.join(broadcast(committedKeys), Seq("part_key"), "left_anti")
@@ -97,13 +101,20 @@ object EncodePipeline {
       todoKeys = todoKeys.orderBy("part_key").limit(cfg.maxPartitionsPerRun)
     }
 
-    val encoded = planned
+    // Shuffle economics (100 TB view): the raw arrays cross exactly ONE
+    // exchange (the doc_id join against the slim key table); encoding runs
+    // map-side in the same stage, so the repartition-by-partition-key that
+    // controls file layout moves only the compressed blobs (~2.5-5× less).
+    val docTodo = plannedParts
       .join(broadcast(todoKeys), Seq("part_key"), "left_semi")
-      .repartition(col("part_key"))
+      .select("doc_id", "salt", "bin", "part_key")
+    val encoded = tokens
+      .join(docTodo, Seq("doc_id"))
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
       .withColumn("run_id", lit(runId))
       .drop("tokens")
+      .repartition(col("part_key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -145,7 +156,7 @@ object EncodePipeline {
       summary
     } finally {
       encoded.unpersist()
-      plannedKeys.unpersist()
+      plannedParts.unpersist()
     }
   }
 

@@ -70,7 +70,9 @@ class PipelineSpec extends AnyFunSuite {
     val before = ManifestSink.readCommitted(spark, out).count()
     // simulate a crashed run: data + manifest written, no commit marker
     graft.functions.GraftFunctions.register(spark)
-    EncodePipeline.plan(tokens, cfgBase.copy(outDir = out))
+    tokens
+      .join(EncodePipeline.plan(tokens, cfgBase.copy(outDir = out))
+        .select("doc_id", "salt", "bin", "part_key"), Seq("doc_id"))
       .limit(50)
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
