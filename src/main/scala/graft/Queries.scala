@@ -226,6 +226,68 @@ object Queries {
     },
     None)
 
+  /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
+    * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
+    * types/conversions.rs:55-77) — roundtripped through unhex/unbase64.
+    */
+  private val hexRoundtrip = Q(
+    (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "doc_id",
+        "concat('0x', lower(hex(CAST(text AS BINARY)))) AS hex_text",
+        // NOTE: raw base64 text is not oracle-comparable (Spark's base64()
+        // MIME-chunks long values); only the roundtrip fact is.
+        "CAST(unhex(hex(CAST(text AS BINARY))) AS STRING) = text AS hex_ok",
+        "CAST(unbase64(base64(CAST(text AS BINARY))) AS STRING) = text AS b64_ok"),
+    Some("""SELECT doc_id,
+           |  '0x' || lower(hex(text)) AS hex_text,
+           |  decode(unhex(hex(text))) = text AS hex_ok,
+           |  decode(from_base64(to_base64(encode(text)))) = text AS b64_ok
+           |FROM documents""".stripMargin))
+
+  /** F3/F4 (§2.7): keccak256 + U256 multi-representation fan-out (cryo's
+    * u256_types column expansion) over sha256-derived 32-byte words.
+    * Engine-internal (DuckDB has no keccak/256-bit ints) → rows-only here;
+    * value-checked against published vectors in ChainSpec.
+    */
+  private val chainDerive = Q(
+    (s, dir) => {
+      GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr(
+          "doc_id",
+          "unhex(sha2(CAST(text AS BINARY), 256)) AS word",
+          "keccak256(CAST(text AS BINARY)) AS kec")
+        .selectExpr(
+          "doc_id",
+          "concat('0x', lower(hex(kec))) AS keccak_hex",
+          "u256_to_string(word) AS word_string",
+          "u256_to_f64(word) AS word_f64",
+          "u256_to_u64(word) AS word_u64") // null when > 63 bits (usual)
+    },
+    None)
+
+  /** A3/K10: per-run throughput metrics from the lineage table (cryo's
+    * FreezeSummary rates, types/summaries.rs:468-534) — runs the pipeline
+    * on the sf tokens into a scratch sink, then rates per source.
+    */
+  private val metricsRates = Q(
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-rates").toString
+      graft.pipeline.EncodePipeline.run(s, Tokens.fromDocuments(s, dir),
+        graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 1L << 16))
+      graft.sinks.ManifestSink.committedManifest(s, out)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum("n_docs").as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("raw_bytes").as("raw_bytes"),
+          sum("encoded_bytes").as("encoded_bytes"),
+          (sum("n_tokens") * 1000.0 / greatest(max("wall_ms"), lit(1L))).as("tokens_per_sec"))
+    },
+    None)
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -247,7 +309,10 @@ object Queries {
     "codec_auto_roundtrip" -> Q(roundtrip("encode_auto(tokens)"), Some(roundtripOracle)),
     "roundtrip_identity" -> roundtripIdentity,
     "codec_auto" -> codecAuto,
-    "encoded_sizes" -> encodedSizes
+    "encoded_sizes" -> encodedSizes,
+    "hex_roundtrip" -> hexRoundtrip,
+    "chain_derive" -> chainDerive,
+    "metrics_rates" -> metricsRates
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

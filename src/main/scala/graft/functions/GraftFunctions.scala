@@ -23,6 +23,14 @@ object GraftFunctions {
       exprs => CodecOf(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_stats",
       exprs => TokenStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("keccak256",
+      exprs => Keccak256(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_string",
+      exprs => U256ToString(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_f64",
+      exprs => U256ToDouble(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_u64",
+      exprs => U256ToLong(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")

@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.Keccak
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chain-type scalar functions (SURVEY.md §2.7 F3/F4): keccak256 against
+  * published test vectors, and the U256 multi-representation fan-out.
+  */
+class ChainSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  test("keccak256 matches published test vectors") {
+    assert(hex(Keccak.hash256(Array.empty[Byte])) ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(hex(Keccak.hash256("abc".getBytes("UTF-8"))) ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    assert(hex(Keccak.hash256(
+      "The quick brown fox jumps over the lazy dog".getBytes("UTF-8"))) ==
+      "4d741b6f1eb29cb2a9b9911c82f56fa8d73b04959d3d9d222895df6c0b28aa15")
+    // multi-block input (> 136-byte rate)
+    val big = Array.fill[Byte](1000)('a'.toByte)
+    assert(Keccak.hash256(big).length == 32)
+  }
+
+  test("u256 fan-out representations agree on known values") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  u256_to_string(unhex('00000000000000000000000000000000000000000000000000000000000000ff')) AS s1,
+        |  u256_to_u64(unhex('0000000000000000000000000000000000000000000000000de0b6b3a7640000')) AS u1,
+        |  u256_to_f64(unhex('0000000000000000000000000000000000000000000000000de0b6b3a7640000')) AS f1,
+        |  u256_to_u64(unhex('ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff')) AS u_overflow,
+        |  u256_to_string(unhex('ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff')) AS s_max
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "255")
+    assert(r.getLong(1) == 1000000000000000000L) // 1 ether in wei
+    assert(r.getDouble(2) == 1.0e18)
+    assert(r.isNullAt(3)) // overflow -> null
+    assert(r.getString(4) ==
+      "115792089237316195423570985008687907853269984665640564039457584007913129639935")
+  }
+
+  test("keccak256 through a Spark plan (hex roundtrip, wei formatting)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(10)
+      .selectExpr(
+        "doc_id",
+        "concat('0x', lower(hex(keccak256(CAST(text AS BINARY))))) AS khex",
+        "u256_to_f64(keccak256(CAST(text AS BINARY))) / 1e18 AS as_ether")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString(1).matches("0x[0-9a-f]{64}")))
+    // expression agrees with the JVM kernel, keyed by doc_id
+    val byId = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id").isin(byId.keys.toSeq: _*))
+      .select("doc_id", "text").collect().foreach { r =>
+        val expect = "0x" + hex(Keccak.hash256(r.getString(1).getBytes("UTF-8")))
+        assert(byId(r.getLong(0)) == expect)
+      }
+  }
+}
