@@ -23,6 +23,8 @@ object GraftFunctions {
       exprs => CodecOf(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_stats",
       exprs => TokenStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gen_tokens",
+      exprs => GenTokens(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("keccak256",
       exprs => Keccak256(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("u256_to_string",

@@ -55,15 +55,28 @@ object Tokens {
   // would have constant deltas and FOR-delta would (correctly but
   // pointlessly) compress it to nothing. All intermediates stay < 2^52.
 
-  /** Spark-side token table derived from `documents.parquet` under sfDir. */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+  /** The SQL-lambda form of the generator (kept for the equivalence test —
+    * the DuckDB oracle mirrors this arithmetic).
+    */
+  def tokensSqlExpr: String =
+    s"CAST(transform(sequence(0L, CAST(n_tok AS BIGINT) - 1), i -> ${genSql("doc_id", "i")}) AS array<int>)"
+
+  /** Spark-side token table derived from `documents.parquet` under sfDir.
+    * Token materialization uses the native [[graft.functions.GenTokens]]
+    * kernel (value-identical to [[genSql]]; asserted in TokensSpec) — the
+    * interpreted transform/sequence lambdas otherwise dominate every
+    * pipeline run.
+    */
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         col("doc_id"),
         col("source"),
         expr(nTokSql("doc_id")).cast("int").as("n_tok"))
       .withColumn("tokens",
-        expr(s"CAST(transform(sequence(0L, CAST(n_tok AS BIGINT) - 1), i -> ${genSql("doc_id", "i")}) AS array<int>)"))
+        call_function("gen_tokens", col("doc_id"), col("n_tok").cast("long")))
+  }
 
   /** DuckDB CTE producing the exploded token stream
     * `tokv(doc_id, source, n_tok, i, tok)` over the driver-registered
@@ -92,6 +105,7 @@ object Tokens {
     * Pure function of the row index; independent of partitioning.
     */
   def synthetic(spark: SparkSession, nDocs: Long, numPartitions: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val base =
       if (numPartitions > 0) spark.range(0L, nDocs, 1L, numPartitions)
       else spark.range(nDocs)
@@ -111,7 +125,7 @@ object Tokens {
           |  THEN 8192 + (doc_id % 13) * 1024
           |  ELSE 16 + (doc_id * 37) % 521 END AS INT)""".stripMargin))
       .withColumn("tokens",
-        expr(s"CAST(transform(sequence(0L, CAST(n_tok AS BIGINT) - 1), i -> ${genSql("doc_id", "i")}) AS array<int>)"))
+        call_function("gen_tokens", col("doc_id"), col("n_tok").cast("long")))
       .select(col("doc_id"), col("source"), col("n_tok"), col("tokens"))
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.Tokens
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native GenTokens kernel must be value-identical to the SQL-lambda
+  * generator — the DuckDB oracle independently recomputes that arithmetic,
+  * so any divergence would silently break every codec-roundtrip oracle.
+  */
+class TokensSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  test("gen_tokens kernel ≡ SQL transform/sequence formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    // cover all 6 profiles × several doc ids incl. a giant (id 0, 97, 194)
+    val ids = ((0L to 23L) ++ Seq(97L, 194L, 388L, 485L)).toSeq
+    val df = spark.range(0, 1).selectExpr(
+      "explode(array(" + ids.map(_ + "L").mkString(",") + ")) AS doc_id")
+      .withColumn("n_tok", expr(Tokens.nTokSql("doc_id")).cast("long"))
+      .withColumn("native", call_function("gen_tokens", col("doc_id"), col("n_tok")))
+      .withColumn("sql_form", expr(
+        s"CAST(transform(sequence(0L, n_tok - 1), i -> ${Tokens.genSql("doc_id", "i")}) AS array<int>)"))
+    val bad = df.filter(not(col("native") <=> col("sql_form"))).count()
+    assert(bad == 0)
+    // and the documents-derived table uses the native path
+    val t = Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
+    assert(t.queryExecution.analyzed.toString.contains("gen_tokens"))
+  }
+
+  test("synthetic generator is independent of partitioning") {
+    val a = Tokens.synthetic(spark, 200, numPartitions = 1)
+      .select(col("doc_id"), xxhash64(col("tokens")).as("h")).orderBy("doc_id").collect()
+    val b = Tokens.synthetic(spark, 200, numPartitions = 7)
+      .select(col("doc_id"), xxhash64(col("tokens")).as("h")).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+}
