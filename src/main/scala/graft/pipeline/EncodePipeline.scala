@@ -108,8 +108,12 @@ object EncodePipeline {
     val docTodo = plannedParts
       .join(broadcast(todoKeys), Seq("part_key"), "left_semi")
       .select("doc_id", "salt", "bin", "part_key")
+    // SHUFFLE_HASH on the slim side: a sort-merge join would SORT the heavy
+    // array side (observed 4× pipeline regression when the planner flipped
+    // to SMJ); hashing the per-partition metadata keeps the arrays
+    // sort-free through their single exchange.
     val encoded = tokens
-      .join(docTodo, Seq("doc_id"))
+      .join(docTodo.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
       .withColumn("run_id", lit(runId))
