@@ -36,9 +36,13 @@ object EncodePipeline {
       targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
       saltBuckets: Int = 16,
       maxPartitionsPerRun: Int = Int.MaxValue, // bound a run (resume testing / backfill waves)
-      partPrefix: String = "") // scopes part_keys (e.g. streaming batch id) so
+      partPrefix: String = "", // scopes part_keys (e.g. streaming batch id) so
                                // different input slices can't collide on
                                // positional bin keys
+      parquetCodec: String = "zstd") // file-level codec on top of the per-row
+                                     // blobs: the lightweight codecs expose
+                                     // cross-row structure zstd exploits
+                                     // (0.71 B/tok vs 1.42 for zstd on raw)
 
   final case class RunSummary(
       runId: String,
@@ -126,6 +130,7 @@ object EncodePipeline {
         .select("part_key", "run_id", "doc_id", "source", "salt", "bin",
           "n_tok", "codec", "blob")
         .write.mode("append").partitionBy("source")
+        .option("compression", cfg.parquetCodec)
         .parquet(ManifestSink.dataDir(cfg.outDir))
 
       // per-partition lineage + metrics rows (reports.rs / summaries.rs
