@@ -54,6 +54,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("encode join hashes the metadata side and never sorts the arrays") {
+    val spark0 = spark
+    graft.functions.GraftFunctions.register(spark0)
+    val tokens = graft.sources.Tokens.synthetic(spark0, 200)
+    val cfg = graft.pipeline.EncodePipeline.Config(outDir = "unused")
+    val docKeys = graft.pipeline.EncodePipeline.plan(tokens, cfg)
+      .select("doc_id", "salt", "bin", "part_key")
+    val joined = tokens.join(docKeys.hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .withColumn("blob", expr("encode_auto(tokens)"))
+      .drop("tokens")
+      .repartition(col("part_key"))
+    val plan = formatted(joined)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // a SortMergeJoin would sort the heavy array side before the exchange
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("scan_tokens aggregation is two-phase (partial before the exchange)") {
     val plan = formatted(SparkEntry.queries("scan_tokens")(spark, dir))
     // HashAggregate(partial) -> Exchange -> HashAggregate(final): map-side
