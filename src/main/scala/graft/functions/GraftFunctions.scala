@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  // Register once per session: re-registration is harmless but makes
+  // SimpleFunctionRegistry emit a "replaced a previously registered
+  // function" WARN per function per call — noise that polluted the
+  // driver-captured bench output. Weak keys: sessions are not pinned.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("encode_tokens",
       exprs => EncodeTokens(exprs(0), exprs(1)), "scala_udf")
@@ -25,6 +34,12 @@ object GraftFunctions {
       exprs => TokenStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("gen_tokens",
       exprs => GenTokens(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_checksum",
+      exprs => TokenChecksum(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("tokens_sum",
+      exprs => TokensSum(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_fingerprint",
+      exprs => CharFingerprint(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("keccak256",
       exprs => Keccak256(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("u256_to_string",

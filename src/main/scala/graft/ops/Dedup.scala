@@ -43,29 +43,53 @@ object Dedup {
       call_function("minhash_signature", split(col("text"), " "), lit(k)))
   }
 
-  /** MinHash + LSH near-dup candidates: signatures banded into
-    * `bands` groups of `k/bands` rows; docs sharing any band bucket become a
-    * candidate pair; estimated Jaccard = matching signature fraction.
-    * Shuffles only (band_id, band_hash, doc_id) triples + a signature join
-    * on the (small) candidate set.
+  /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
+    * of `k/bands` rows; docs sharing any band bucket become a candidate
+    * pair. Shuffles only (band_id, band_hash, doc_id) triples.
+    *
+    * Bucket skew guard (the 100 TB failure mode: N boilerplate copies →
+    * N²/2 pairs per band): buckets larger than `maxBucket` switch from
+    * all-pairs to STAR edges against the bucket's min doc_id — O(n) pairs
+    * that keep a giant duplicate cluster connected for downstream
+    * clustering without the quadratic blow-up. (Dropping oversized buckets
+    * outright — the simhash-style cap — would lose real dup clusters here,
+    * because a full-band-hash collision IS near-duplication, unlike a
+    * 16-bit simhash chunk collision.)
     */
-  def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.5): DataFrame = {
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
     val sig = withMinhash(docs, k).select("doc_id", "minhash")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")
     val buckets = sig
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', slice(minhash, b * $rows + 1, $rows))))"))
           .as(Seq("band_id", "band_hash")))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("doc_id").over(w))
+    val small = buckets.filter(col("bucket_n") <= maxBucket)
+      .select("doc_id", "band_id", "band_hash")
+    val allPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    pairs
+    val starPairs = buckets
+      .filter(col("bucket_n") > maxBucket && col("doc_id") =!= col("bucket_min"))
+      .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionByName(starPairs).distinct()
+  }
+
+  /** MinHash + LSH near-dup pairs with estimated Jaccard = matching
+    * signature fraction over the candidate set (capped — see
+    * [[minhashCandidates]]).
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val sig = withMinhash(docs, k).select("doc_id", "minhash")
+    minhashCandidates(docs, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
       .withColumn("est_jaccard", expr(
@@ -75,22 +99,54 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Distinct word-trigram set per doc (the exact-similarity unit shared
+    * by [[ngramJaccard]] and [[verifiedPairs]]).
+    */
+  private def trigrams(docs: DataFrame): DataFrame = docs
+    .withColumn("words", split(col("text"), " "))
+    .withColumn("grams", expr(
+      """array_distinct(CASE WHEN size(words) >= 3 THEN
+        |  transform(sequence(0, size(words) - 3),
+        |    i -> concat_ws(' ', element_at(words, i + 1),
+        |                        element_at(words, i + 2),
+        |                        element_at(words, i + 3)))
+        |ELSE array(concat_ws(' ', words)) END)""".stripMargin))
+
+  /** Exact trigram Jaccard (jac_pct = floor(100 * |∩| / |∪|)) over the
+    * given candidate pair set — the verify stage of the near-dup pipeline.
+    * Cost is O(|candidates|): the docs' gram sets are joined to the pair
+    * list, never cross-joined.
+    */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val grams = trigrams(docs).select("doc_id", "grams")
+    candidates.select("doc_a", "doc_b")
+      .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a"), "doc_a")
+      .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(floor(100.0 * size(array_intersect(grams_a, grams_b)) / size(array_union(grams_a, grams_b))) AS BIGINT)")
+          .as("jac_pct"))
+  }
+
+  /** The full near-dup op a user calls at scale: MinHash-LSH candidate
+    * generation (capped buckets) → exact trigram-Jaccard verification →
+    * threshold. 16 bands × 2 rows puts per-pair miss probability below
+    * 1e-11 at jac ≥ 0.8, so at the oracle's scale the output equals the
+    * exact all-pairs answer (which is how the DuckDB oracle replays it —
+    * the oracle can afford all-pairs at gate scale; this op never does).
+    */
+  def verifiedPairs(docs: DataFrame, minJacPct: Long = 80, k: Int = 32,
+      bands: Int = 16, maxBucket: Int = 256): DataFrame =
+    jaccardVerify(docs, minhashCandidates(docs, k, bands, maxBucket))
+      .filter(col("jac_pct") >= minJacPct)
+
   /** Exact word-trigram Jaccard for candidate pairs gated on (lang,
-    * n_chars) equality — the verification stage after LSH in a real
-    * pipeline, expressed portably so the DuckDB oracle can replay it.
-    * jac_pct = floor(100 * |∩| / |∪|) over distinct trigrams.
+    * n_chars) equality — kept as the PORTABLE oracle form of the verify
+    * stage (both engines can replay it exactly); the production wiring is
+    * [[verifiedPairs]], which verifies LSH candidates instead of a
+    * group-gated cross product.
     */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("grams", expr(
-        """array_distinct(CASE WHEN size(words) >= 3 THEN
-          |  transform(sequence(0, size(words) - 3),
-          |    i -> concat_ws(' ', element_at(words, i + 1),
-          |                        element_at(words, i + 2),
-          |                        element_at(words, i + 3)))
-          |ELSE array(concat_ws(' ', words)) END)""".stripMargin))
-      .select("doc_id", "lang", "n_chars", "grams")
+    val grams = trigrams(docs).select("doc_id", "lang", "n_chars", "grams")
     grams.as("a")
       .join(grams.as("b"),
         col("a.lang") === col("b.lang") &&

@@ -47,8 +47,11 @@ object Multimodal {
       .withColumn("blob", col("text").cast("binary"))
       .withColumn("media_type",
         expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"))
-      // size-binned shuffle key: giant blobs spread across tasks
-      .repartition(col("media_type"), pmod(octet_length(col("blob")), lit(8)))
+      // spread decode work across the full shuffle parallelism: hashing
+      // the unique doc_id scatters giant blobs uniformly (the previous
+      // (media_type, size%8) key had only 24 distinct values, capping
+      // decode at 24 tasks regardless of cluster size)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("media_type"), col("blob"))
       .as[MediaRow]
     media.mapPartitions { it =>

@@ -54,12 +54,21 @@ object TextOps {
 
   /** Position-weighted rolling fingerprint over character codes:
     * sum(i * ascii(text[i])) % p — an order-sensitive content hash that both
-    * engines can compute identically.
+    * engines can compute identically. Computed by the native
+    * [[graft.functions.CharFingerprint]] kernel (the SQL-lambda mirror is
+    * [[fingerprintSql]]; equivalence asserted in OpsSpec — the lambda form
+    * was the last interpreted-HOF hot path in the round-1 bench).
     */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      """aggregate(
-        |  transform(sequence(1, length(text)),
-        |    i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))),
-        |  0L, (a, b) -> a + b) % 1000000007""".stripMargin).as("fingerprint"))
+  def fingerprint(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      expr("char_fingerprint(text)").as("fingerprint"))
+  }
+
+  /** SQL-lambda mirror of the fingerprint kernel (equivalence-test form). */
+  val fingerprintSql: String =
+    """aggregate(
+      |  transform(sequence(1, length(text)),
+      |    i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))),
+      |  0L, (a, b) -> a + b) % 1000000007""".stripMargin
 }

@@ -92,10 +92,18 @@ object Tokens {
        |)""".stripMargin
 
   /** Order-sensitive checksum of a decoded array column (Spark side, no
-    * shuffle): sum((i+1) * tok) % ChecksumMod.
+    * shuffle): sum((i+1) * tok) % ChecksumMod. This SQL-lambda form is the
+    * documentation/equivalence mirror (TokensSpec asserts it ≡ the native
+    * kernel); hot queries call [[checksumCall]] instead — the lambda form
+    * is CodegenFallback and re-interpreted per row.
     */
   def checksumSql(arrCol: String): String =
     s"aggregate(transform($arrCol, (x, i) -> (CAST(i AS BIGINT) + 1L) * CAST(x AS BIGINT)), 0L, (a, b) -> a + b) % $ChecksumMod"
+
+  /** Native checksum call (value-identical to [[checksumSql]], codegen'd:
+    * [[graft.functions.TokenChecksum]]).
+    */
+  def checksumCall(arrCol: String): String = s"token_checksum($arrCol)"
 
   /** Oracle-side checksum over the exploded stream (group by doc_id). */
   val duckChecksum: String = s"CAST(sum((i + 1) * tok) % $ChecksumMod AS BIGINT)"

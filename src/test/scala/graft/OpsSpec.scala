@@ -41,6 +41,48 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.filter($"jac_pct".isNull || $"jac_pct" < 50).count() == 0)
   }
 
+  test("minhash bucket cap: a giant duplicate cluster yields linear star edges") {
+    // 1200 identical copies of one doc: uncapped LSH banding would emit
+    // ~1200²/2 pairs per band (the 100 TB boilerplate failure mode); the
+    // cap must switch the bucket to star edges — exactly n-1 pairs, all
+    // anchored at the cluster's min doc_id, cluster still connected.
+    val one = docs.filter($"doc_id" === 0).select($"text").collect()(0).getString(0)
+    val clones = spark.range(1, 1200).select(
+      ($"id" + 200000).as("doc_id"), lit(one).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(clones)
+      .unionByName(docs.filter($"doc_id" === 0).select("doc_id", "text"))
+    val pairs = Dedup.minhashCandidates(corpus, maxBucket = 64).cache()
+    // every clone pairs with the anchor (doc 0, the cluster min), and no
+    // clone-clone pairs survive — nothing quadratic
+    assert(pairs.filter($"doc_a" === 0 && $"doc_b" >= 200000).count() == 1199)
+    assert(pairs.filter($"doc_a" >= 200000).count() == 0)
+    assert(pairs.count() < 5000, s"pair blow-up: ${pairs.count()}")
+    pairs.unpersist()
+  }
+
+  test("verifiedPairs (LSH candidates → exact jaccard) equals exact all-pairs at gate scale") {
+    val allPairs = docs.select($"doc_id".as("doc_a")).crossJoin(
+      docs.select($"doc_id".as("doc_b"))).filter($"doc_a" < $"doc_b")
+    val exact = Dedup.jaccardVerify(docs, allPairs).filter($"jac_pct" >= 80)
+    val lsh = Dedup.verifiedPairs(docs, minJacPct = 80)
+    assert(lsh.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(lsh).count() == 0)
+  }
+
+  test("char_fingerprint kernel ≡ SQL lambda mirror") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = docs.select(
+      expr("char_fingerprint(text)").as("native"),
+      expr(TextOps.fingerprintSql).as("sql_form"))
+    assert(df.filter($"native" =!= $"sql_form").count() == 0)
+    // non-ASCII slow path agrees with Spark's per-char ascii() semantics
+    val uni = Seq("héllo wörld", "ascii only", "日本語テスト x").toDF("text")
+    val u = uni.select(
+      expr("char_fingerprint(text)").as("native"),
+      expr(TextOps.fingerprintSql).as("sql_form"))
+    assert(u.filter($"native" =!= $"sql_form").count() == 0)
+  }
+
   test("simhash: identical docs collide, hamming is symmetric-sane") {
     val sig = Dedup.simhash(docs).select("doc_id", "simhash")
     val dupSig = Dedup.simhash(

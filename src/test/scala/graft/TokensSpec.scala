@@ -29,6 +29,29 @@ class TokensSpec extends AnyFunSuite {
     assert(t.queryExecution.analyzed.toString.contains("gen_tokens"))
   }
 
+  test("token_checksum kernel ≡ SQL aggregate/transform formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
+      .withColumn("native", expr(Tokens.checksumCall("tokens")))
+      .withColumn("sql_form", expr(Tokens.checksumSql("tokens")))
+    assert(df.filter(col("native") =!= col("sql_form")).count() == 0)
+    // empty array edge
+    val e = spark.sql(
+      s"SELECT token_checksum(CAST(array() AS array<int>)) AS n, " +
+        s"tokens_sum(CAST(array() AS array<int>)) AS s")
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L)
+  }
+
+  test("tokens_sum kernel ≡ SQL aggregate formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
+      .withColumn("native", expr("tokens_sum(tokens)"))
+      .withColumn("sql_form",
+        expr("aggregate(transform(tokens, x -> CAST(x AS BIGINT)), 0L, (a, b) -> a + b)"))
+    assert(df.filter(col("native") =!= col("sql_form")).count() == 0)
+  }
+
   test("synthetic generator is independent of partitioning") {
     val a = Tokens.synthetic(spark, 200, numPartitions = 1)
       .select(col("doc_id"), xxhash64(col("tokens")).as("h")).orderBy("doc_id").collect()
