@@ -270,6 +270,88 @@ object Queries {
     },
     None)
 
+  /** P1 user-facing column-set algebra: ordered defaults + include/exclude
+    * selection (schemas.rs:165-237 semantics; spec battery mirrored in
+    * ColumnSelectSpec). The unknown include is permissively skipped, the
+    * exclude removes a default — final set: doc_id, source, n_chars.
+    */
+  private val projectAlgebra = Q(
+    (s, dir) => graft.ops.ColumnSelect(
+      s.read.parquet(s"$dir/documents.parquet"),
+      defaults = Seq("doc_id", "source", "lang"),
+      graft.ops.ColumnSelect.Spec(
+        include = Some(Seq("n_chars", "base_fee_per_gas")),
+        exclude = Some(Seq("lang")))),
+    Some("SELECT doc_id, source, n_chars FROM documents"))
+
+  /** F6 analog — schema-directed decode: a signature-driven struct decode
+    * of a binary column (log_decoder.rs:20-171's type-directed column
+    * building on a synthetic event layout). The blob is packed from source
+    * columns by encode_struct, so the oracle can recompute every decoded
+    * field directly — any layout/decode bug diverges.
+    */
+  private val decodeEvent = Q(
+    (s, dir) => {
+      GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id",
+          """decode_struct(
+            |  encode_struct('id:u64,n:u32,flag:u8,head:str',
+            |                doc_id, n_chars, doc_id % 2, substring(text, 1, 12)),
+            |  'id:u64,n:u32,flag:u8,head:str') AS ev""".stripMargin)
+        .selectExpr("doc_id", "ev.id AS id", "ev.n AS n",
+          "ev.flag AS flag", "ev.head AS head")
+    },
+    Some("""SELECT doc_id, doc_id AS id, n_chars AS n,
+           |  doc_id % 2 AS flag, substr(text, 1, 12) AS head
+           |FROM documents""".stripMargin))
+
+  /** G4/G5/F5 — recursive call-frame flatten via the custom
+    * [[graft.functions.CallFrames]] Generator, with failed-subtree
+    * anti-filtering (traces.rs:201-230 semantics) as a plain post-filter;
+    * the oracle replays the deterministic tree with a recursive CTE.
+    */
+  private val traceFrames = Q(
+    (s, dir) => {
+      GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr("call_frames(doc_id)"))
+        .filter(col("failed_subtree") === 0)
+        .select("doc_id", "node_id", "depth", "path")
+    },
+    Some("""WITH RECURSIVE frames AS (
+           |  SELECT doc_id, CAST(1 AS BIGINT) AS node_id,
+           |    CAST(0 AS BIGINT) AS depth, '0' AS path,
+           |    CASE WHEN (doc_id * 13 + 17) % 23 = 0 THEN 1 ELSE 0 END AS failed
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT f.doc_id, f.node_id * 4 + c.idx + 1, f.depth + 1,
+           |    f.path || '/' || CAST(c.idx AS VARCHAR),
+           |    CASE WHEN f.failed = 1
+           |         OR ((f.doc_id * 13 + (f.node_id * 4 + c.idx + 1) * 17) % 23 = 0)
+           |         THEN 1 ELSE 0 END
+           |  FROM frames f
+           |  JOIN (SELECT 0 AS idx UNION ALL SELECT 1 UNION ALL SELECT 2) c
+           |    ON c.idx < (f.doc_id * 7 + f.node_id * 11) % 4
+           |  WHERE f.depth < 3
+           |)
+           |SELECT doc_id, node_id, depth, path FROM frames WHERE failed = 0""".stripMargin))
+
+  /** G6 — map flatten: build a map column, explode map_entries to
+    * (key, value) rows.
+    */
+  private val mediaKv = Q(
+    (s, dir) => graft.ops.Multimodal.mediaMeta(s.read.parquet(s"$dir/documents.parquet"))
+      .withColumn("kv", explode(map_entries(
+        map(lit("w"), col("width"), lit("h"), col("height"), lit("f"), col("n_frames")))))
+      .select(col("doc_id"), col("kv.key").as("k"), col("kv.value").as("v")),
+    Some("""SELECT doc_id, k, CAST(v AS BIGINT) AS v FROM (
+           |  SELECT doc_id, 'w' AS k, 16 + length(text) % 97 AS v FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, 'h', 16 + (length(text) * 7) % 89 FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, 'f', 1 + length(text) % 5 FROM documents)""".stripMargin))
+
   /** A3/K10: per-run throughput metrics from the lineage table (cryo's
     * FreezeSummary rates, types/summaries.rs:468-534) — runs the pipeline
     * on the sf tokens into a scratch sink, then rates per source.
@@ -315,6 +397,10 @@ object Queries {
     "encoded_sizes" -> encodedSizes,
     "hex_roundtrip" -> hexRoundtrip,
     "chain_derive" -> chainDerive,
+    "project_algebra" -> projectAlgebra,
+    "decode_event" -> decodeEvent,
+    "trace_frames" -> traceFrames,
+    "media_kv" -> mediaKv,
     "metrics_rates" -> metricsRates
   )
 

@@ -34,6 +34,12 @@ object GraftFunctions {
       exprs => TokenStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("gen_tokens",
       exprs => GenTokens(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_struct",
+      exprs => DecodeStruct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("encode_struct",
+      exprs => EncodeStruct(exprs), "scala_udf")
+    reg.createOrReplaceTempFunction("call_frames",
+      exprs => CallFrames(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("token_checksum",
       exprs => TokenChecksum(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("tokens_sum",
