@@ -373,6 +373,30 @@ object Queries {
     },
     None)
 
+  /** K9/K10 deterministic half of the lineage metrics: per-source doc /
+    * token / raw-byte totals re-derivable by the oracle straight from the
+    * generator (rates and encoded sizes stay engine-internal in
+    * metrics_rates). Runs the pipeline into a scratch sink first, so this
+    * checks the MANIFEST's accounting, not just the input.
+    */
+  private val metricsSummary = Q(
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-msum").toString
+      graft.pipeline.EncodePipeline.run(s, Tokens.fromDocuments(s, dir),
+        graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 1L << 16))
+      graft.sinks.ManifestSink.committedManifest(s, out)
+        .groupBy("source")
+        .agg(
+          sum("n_docs").as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("raw_bytes").as("raw_bytes"))
+    },
+    Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            |  CAST(sum(n_tok) * 4 AS BIGINT) AS raw_bytes
+            |FROM (SELECT source, ${Tokens.nTokSql("doc_id")} AS n_tok FROM documents)
+            |GROUP BY source""".stripMargin))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -401,7 +425,8 @@ object Queries {
     "decode_event" -> decodeEvent,
     "trace_frames" -> traceFrames,
     "media_kv" -> mediaKv,
-    "metrics_rates" -> metricsRates
+    "metrics_rates" -> metricsRates,
+    "metrics_summary" -> metricsSummary
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

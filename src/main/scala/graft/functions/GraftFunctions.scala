@@ -34,6 +34,8 @@ object GraftFunctions {
       exprs => TokenStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("gen_tokens",
       exprs => GenTokens(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("now_nanos",
+      _ => NowNanos(), "scala_udf")
     reg.createOrReplaceTempFunction("decode_struct",
       exprs => DecodeStruct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("encode_struct",

@@ -22,27 +22,60 @@ import org.apache.spark.storage.StorageLevel
   *    cardinality = |sources| × saltBuckets) and one repartition by
   *    part_key; encode itself is embarrassingly parallel map work inside
   *    whole-stage codegen;
-  *  - hot sources with giant arrays are split across saltBuckets before the
-  *    window, so no single task sorts a whole hot source;
+  *  - saltBuckets scales with input size (auto mode), so no single task
+  *    ever windows more than ~2M metadata rows even for a Zipf-hot source
+  *    at 10B docs;
   *  - bin-packing bounds tokens (≈ bytes) per output file, so file sizes
   *    stay uniform regardless of skew;
   *  - resume/commit are metadata-only operations against a manifest dataset
-  *    that Spark writes distributed (no driver-side collect of partitions).
+  *    that Spark writes distributed (no driver-side collect of partitions);
+  *    the committed-key side of the resume anti-join broadcasts only below
+  *    a size threshold — beyond it (thousands of runs at 100 TB) it
+  *    degrades gracefully to a shuffle join.
+  *
+  * Resume contract: part_keys are positional bins over a cumulative-sum
+  * window, so they are only stable across runs if the input snapshot is
+  * IDENTICAL. Batch resume therefore guards by comparing per-key doc
+  * counts against the committed manifest (fail-fast on drift); growing
+  * inputs belong on the streaming path, which scopes keys by batch via
+  * `partPrefix`.
   */
 object EncodePipeline {
 
   final case class Config(
       outDir: String,
       targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
-      saltBuckets: Int = 16,
+      saltBuckets: Int = 0,              // 0 = derive from input size
       maxPartitionsPerRun: Int = Int.MaxValue, // bound a run (resume testing / backfill waves)
       partPrefix: String = "", // scopes part_keys (e.g. streaming batch id) so
                                // different input slices can't collide on
                                // positional bin keys
-      parquetCodec: String = "zstd") // file-level codec on top of the per-row
+      parquetCodec: String = "zstd", // file-level codec on top of the per-row
                                      // blobs: the lightweight codecs expose
                                      // cross-row structure zstd exploits
                                      // (0.71 B/tok vs 1.42 for zstd on raw)
+      broadcastKeyLimit: Long = 1L << 20, // key-table rows above this use a
+                                          // shuffle join, not a broadcast
+      strictResume: Boolean = true) {     // fail-fast if a skipped part_key's
+                                          // doc count drifted from the manifest
+
+    /** F7 required-param validation (args-validation analog; the reference
+      * rejects malformed CLI/file params before any work starts).
+      */
+    def validated: Config = {
+      require(outDir.nonEmpty, "outDir must be set")
+      require(targetBinTokens > 0, s"targetBinTokens must be positive: $targetBinTokens")
+      require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto): $saltBuckets")
+      require(maxPartitionsPerRun > 0, s"maxPartitionsPerRun must be positive")
+      require(broadcastKeyLimit > 0, s"broadcastKeyLimit must be positive")
+      require(!partPrefix.contains("/"),
+        s"partPrefix must not contain '/' (it is a part_key segment): '$partPrefix'")
+      val codecs = Set("zstd", "lz4", "snappy", "gzip", "lzo", "brotli", "none", "uncompressed")
+      require(codecs.contains(parquetCodec),
+        s"unknown parquet codec '$parquetCodec' (one of ${codecs.mkString(",")})")
+      this
+    }
+  }
 
   final case class RunSummary(
       runId: String,
@@ -53,14 +86,30 @@ object EncodePipeline {
       nTokens: Long,
       rawBytes: Long,
       encodedBytes: Long,
-      wallMs: Long)
+      wallMs: Long,
+      priorFailedAttempts: Long = 0)
+
+  /** Salt-bucket auto-sizing: cap the largest (source, salt) window group
+    * at ~2M metadata rows even if one source carries the whole corpus.
+    * Pure function of the doc count, so reruns over the same input get the
+    * same keys.
+    */
+  def autoSaltBuckets(nDocs: Long): Int =
+    math.max(16L, math.min(8192L, nDocs / 2000000L + 1)).toInt
+
+  private def resolveSalts(tokens: DataFrame, cfg: Config): Int =
+    if (cfg.saltBuckets > 0) cfg.saltBuckets
+    else autoSaltBuckets(tokens.select("doc_id").count())
 
   /** Partition planning: salt hot sources, then size-based bin-packing of
     * sequences by running token count within (source, salt), ordered by
     * doc_id (deterministic across parallelism levels — the window order is
     * total because doc_id is unique).
     */
-  def plan(tokens: DataFrame, cfg: Config): DataFrame = {
+  def plan(tokens: DataFrame, cfg: Config): DataFrame =
+    plan(tokens, cfg, resolveSalts(tokens, cfg))
+
+  def plan(tokens: DataFrame, cfg: Config, salts: Int): DataFrame = {
     val w = Window.partitionBy("source", "salt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val keyParts =
@@ -69,26 +118,68 @@ object EncodePipeline {
     // Metadata only: the heavy token arrays must NOT flow through the
     // window shuffle — at 100 TB that would move the whole corpus an extra
     // time just to assign bin numbers. (Window group size is bounded by
-    // |sources| × saltBuckets; size saltBuckets so a group's *metadata*
+    // |sources| × saltBuckets; salts auto-scale so a group's *metadata*
     // fits one task.)
     tokens
       .select("doc_id", "source", "n_tok")
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.saltBuckets)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
       .withColumn("bin",
         floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(cfg.targetBinTokens)))
       .withColumn("part_key", concat_ws("/", keyParts: _*))
   }
 
+  /** Deterministic zero-padded partition-directory stub (the reference's
+    * human-readable chunk file stubs, chunk_ops.rs:25-54): a resuming
+    * operator can eyeball exactly which (salt, bin) range a directory
+    * covers. Becomes the on-disk dir name via partitionBy.
+    */
+  private def partStub(cfg: Config) = {
+    val stub = format_string("salt%03d__bin%08d", col("salt"), col("bin"))
+    if (cfg.partPrefix.nonEmpty) concat_ws("__", lit(cfg.partPrefix), stub) else stub
+  }
+
+  /** Resume anti-join with a size-guarded broadcast: the committed-key set
+    * grows without bound over a sink's lifetime (thousands of runs at
+    * 100 TB would blow the broadcast limit), so past `limit` rows the
+    * anti-join degrades to a shuffle join against the partition-pruned
+    * manifest. Exposed for plan-level tests (PlanSpec asserts both
+    * strategies).
+    */
+  def resumeAntiJoin(plannedKeys: DataFrame, committedKeys: DataFrame,
+      nCommitted: Long, limit: Long): DataFrame = {
+    // the MERGE hint pins the large-side strategy: without it Spark's size
+    // estimate of the (slim) key table could re-introduce the broadcast
+    val side =
+      if (nCommitted <= limit) broadcast(committedKeys)
+      else committedKeys.hint("MERGE")
+    plannedKeys.join(side, Seq("part_key"), "left_anti")
+  }
+
   /** Execute one run: encode + commit all not-yet-committed partitions
     * (bounded by cfg.maxPartitionsPerRun). Returns the run summary.
     */
-  def run(spark: SparkSession, tokens: DataFrame, cfg: Config): RunSummary = {
+  def run(spark: SparkSession, tokens: DataFrame, cfg0: Config): RunSummary = {
+    val cfg = cfg0.validated
     GraftFunctions.register(spark)
     val t0 = System.nanoTime()
     val runId = f"run-${ManifestSink.committedRunIds(cfg.outDir).size}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+    try runGuarded(spark, tokens, cfg, runId, t0)
+    catch {
+      case e: Throwable =>
+        // durable error accounting (reports.rs analog): the failed attempt
+        // is recorded; its data stays invisible (no commit marker)
+        try ManifestSink.recordError(cfg.outDir, runId,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        catch { case _: Throwable => () }
+        throw e
+    }
+  }
 
-    val committedKeys = ManifestSink.committedManifest(spark, cfg.outDir)
-      .select("part_key").distinct()
+  private def runGuarded(spark: SparkSession, tokens: DataFrame, cfg: Config,
+      runId: String, t0: Long): RunSummary = {
+    val committedMan = ManifestSink.committedManifest(spark, cfg.outDir)
+    val committedKeysDf = committedMan.select("part_key").distinct()
+    val nCommitted = committedKeysDf.count()
 
     // Per-doc partition assignments (slim metadata) are persisted so the
     // plan/skip/limit accounting and the key join never re-derive the
@@ -98,28 +189,61 @@ object EncodePipeline {
     val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog)
-    var todoKeys = plannedKeys.join(broadcast(committedKeys), Seq("part_key"), "left_anti")
+    var todoKeys = resumeAntiJoin(plannedKeys, committedKeysDf, nCommitted,
+      cfg.broadcastKeyLimit)
     val nTodo = todoKeys.count()
     val nSkipped = nPlanned - nTodo // previously committed (≠ deferred below)
+
+    if (cfg.strictResume && nSkipped > 0) {
+      // positional bin keys are only stable for an identical input
+      // snapshot: if the input grew, docs appended to a committed trailing
+      // bin would be silently skipped forever. Fail fast on doc-count
+      // drift for any key we are about to skip.
+      val plannedCounts = plannedParts.groupBy("part_key")
+        .agg(count(lit(1)).as("n_planned"))
+      val committedCounts = committedMan.groupBy("part_key")
+        .agg(sum("n_docs").as("n_committed"))
+      val drift = plannedCounts.join(committedCounts, Seq("part_key"))
+        .filter(col("n_planned") =!= col("n_committed")).count()
+      if (drift > 0) {
+        plannedParts.unpersist()
+        throw new IllegalStateException(
+          s"resume guard: $drift committed part_key(s) have a different doc " +
+            "count in the current input. Positional bin keys require an " +
+            "identical input snapshot; re-encode into a fresh outDir or " +
+            "route incremental input through partPrefix (streaming path).")
+      }
+    }
+
     if (cfg.maxPartitionsPerRun != Int.MaxValue) {
       todoKeys = todoKeys.orderBy("part_key").limit(cfg.maxPartitionsPerRun)
     }
+    val todoSide =
+      if (math.min(nTodo, cfg.maxPartitionsPerRun.toLong) <= cfg.broadcastKeyLimit)
+        broadcast(todoKeys)
+      else todoKeys
 
     // Shuffle economics (100 TB view): the raw arrays cross exactly ONE
     // exchange (the doc_id join against the slim key table); encoding runs
     // map-side in the same stage, so the repartition-by-partition-key that
     // controls file layout moves only the compressed blobs (~2.5-5× less).
     val docTodo = plannedParts
-      .join(broadcast(todoKeys), Seq("part_key"), "left_semi")
+      .join(todoSide, Seq("part_key"), "left_semi")
       .select("doc_id", "salt", "bin", "part_key")
     // SHUFFLE_HASH on the slim side: a sort-merge join would SORT the heavy
     // array side (observed 4× pipeline regression when the planner flipped
     // to SMJ); hashing the per-partition metadata keeps the arrays
     // sort-free through their single exchange.
+    // enc_task/enc_ns are evaluated in the same map-side projection as the
+    // encode itself (below the exchange), so per-task first-row→last-row
+    // spans measure REAL encode wall time (round 1 wrote a driver-side
+    // constant here).
     val encoded = tokens
       .join(docTodo.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
+      .withColumn("enc_task", spark_partition_id())
+      .withColumn("enc_ns", expr("now_nanos()"))
       .withColumn("run_id", lit(runId))
       .drop("tokens")
       .repartition(col("part_key"))
@@ -127,22 +251,39 @@ object EncodePipeline {
 
     try {
       encoded
+        .withColumn("part_stub", partStub(cfg))
         .select("part_key", "run_id", "doc_id", "source", "salt", "bin",
-          "n_tok", "codec", "blob")
-        .write.mode("append").partitionBy("source")
+          "n_tok", "codec", "blob", "part_stub")
+        // per-file sort (the reference sorts every output file by the
+        // schema's sort columns, types/dataframes/sort.rs:9-18): rows
+        // within each partition directory's files are doc_id-ordered
+        .sortWithinPartitions("source", "part_stub", "doc_id")
+        .write.mode("append").partitionBy("source", "part_stub")
         .option("compression", cfg.parquetCodec)
         .parquet(ManifestSink.dataDir(cfg.outDir))
 
       // per-partition lineage + metrics rows (reports.rs / summaries.rs
-      // analog); majority codec per partition recorded alongside sizes.
-      val manifest = encoded.groupBy("part_key", "source", "salt", "bin", "run_id")
+      // analog). All aggs below are over cached slim metadata columns.
+      val manifestBase = encoded
+        .groupBy("part_key", "source", "salt", "bin", "run_id")
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tok").cast("long")).as("n_tokens"),
           (sum(col("n_tok").cast("long")) * 4).as("raw_bytes"),
           sum(length(col("blob")).cast("long")).as("encoded_bytes"),
-          max_by(col("codec"), length(col("blob"))).as("codec"),
-          lit((System.nanoTime() - t0) / 1000000).as("wall_ms"))
+          mode(col("codec")).as("codec"))
+      // real wall time: per encode task, first-row→last-row span;
+      // apportioned to part_keys by token share within the task
+      val taskWall = encoded.groupBy("enc_task").agg(
+        ((max("enc_ns") - min("enc_ns")) / 1000000L).as("task_wall_ms"),
+        sum(col("n_tok").cast("long")).as("task_tokens"))
+      val wallPerKey = encoded.groupBy("part_key", "enc_task")
+        .agg(sum(col("n_tok").cast("long")).as("kt_tokens"))
+        .join(taskWall, Seq("enc_task"))
+        .groupBy("part_key")
+        .agg(ceil(sum(col("task_wall_ms") * col("kt_tokens") / greatest(col("task_tokens"), lit(1L))))
+          .cast("long").as("wall_ms"))
+      val manifest = manifestBase.join(wallPerKey, Seq("part_key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
       manifest
@@ -156,9 +297,10 @@ object EncodePipeline {
         coalesce(sum("encoded_bytes"), lit(0L))).collect()(0)
       val nParts = totals.getLong(0)
       val wallMs = (System.nanoTime() - t0) / 1000000
+      val priorErrors = ManifestSink.readErrorReports(cfg.outDir).size.toLong
       val summary = RunSummary(runId, nPlanned, nSkipped, nParts,
         totals.getLong(1), totals.getLong(2), totals.getLong(3),
-        totals.getLong(4), wallMs)
+        totals.getLong(4), wallMs, priorErrors)
 
       // atomic publish — everything above is invisible until this succeeds
       ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary))
@@ -204,5 +346,5 @@ object EncodePipeline {
     s"""{"run_id":"${s.runId}","planned":${s.planned},"skipped":${s.skipped},
        |"committed":${s.committed},"n_docs":${s.nDocs},"n_tokens":${s.nTokens},
        |"raw_bytes":${s.rawBytes},"encoded_bytes":${s.encodedBytes},
-       |"wall_ms":${s.wallMs}}""".stripMargin.replace("\n", "")
+       |"wall_ms":${s.wallMs},"prior_failed_attempts":${s.priorFailedAttempts}}""".stripMargin.replace("\n", "")
 }

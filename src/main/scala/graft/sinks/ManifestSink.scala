@@ -79,8 +79,21 @@ object ManifestSink {
     */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
     val committed = committedManifest(spark, root).select("part_key", "run_id")
-    spark.read.parquet(dataDir(root))
-      .join(broadcast(committed), Seq("part_key", "run_id"), "left_semi")
+    if (!Files.isDirectory(Paths.get(dataDir(root)))) {
+      // nothing ever (successfully) written — e.g. every attempt so far
+      // errored before its first file landed
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("part_key", StringType), StructField("run_id", StringType),
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("salt", IntegerType), StructField("bin", LongType),
+        StructField("n_tok", IntegerType), StructField("codec", StringType),
+        StructField("blob", BinaryType), StructField("part_stub", StringType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.parquet(dataDir(root))
+        .join(broadcast(committed), Seq("part_key", "run_id"), "left_semi")
+    }
   }
 
   /** Atomically publish a run: write the marker JSON via tmp + rename
@@ -101,4 +114,39 @@ object ManifestSink {
       new String(Files.readAllBytes(commitsDir(root).resolve(s"$id.json")),
         StandardCharsets.UTF_8)
     }
+
+  // ---- error accounting (reports.rs:9-127 analog: a run's failure is
+  // recorded durably, not just thrown; its data stays invisible because
+  // the commit marker was never written) ----
+
+  private def errorsDir(root: String): Path = Paths.get(root, "errors")
+
+  /** Durably record a failed run attempt (atomic tmp+rename like commits). */
+  def recordError(root: String, runId: String, message: String): Unit = {
+    val dir = errorsDir(root)
+    Files.createDirectories(dir)
+    val safe = message.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").take(500)
+    val tmp = dir.resolve(s"_tmp_$runId.json")
+    Files.write(tmp,
+      s"""{"run_id":"$runId","error":"$safe"}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"$runId.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** JSON bodies of recorded failed attempts (empty if none). */
+  def readErrorReports(root: String): Seq[String] = {
+    val dir = errorsDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s = Files.list(dir)
+    try {
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && !n.startsWith("_tmp"))
+          out += new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      }
+    } finally s.close()
+    out.toSeq.sorted
+  }
 }

@@ -67,7 +67,12 @@ class ColumnSelectSpec extends AnyFunSuite {
 
   test("apply() projects a DataFrame and Catalyst prunes the scan") {
     val spark = SparkTestSession.get
-    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // private copy of the table: other suites cache the shared sf0.001
+    // path, and a cache-matched plan has no parquet ReadSchema to assert on
+    val tmp = java.nio.file.Files.createTempDirectory("colsel").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
     val out = ColumnSelect(df, Seq("doc_id", "source", "lang"),
       Spec(include = Some(Seq("n_chars", "nope")), exclude = Some(Seq("lang"))))
     assert(out.columns.toSeq == Seq("doc_id", "source", "n_chars"))

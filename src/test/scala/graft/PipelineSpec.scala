@@ -77,9 +77,11 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("blob", expr("encode_auto(tokens)"))
       .withColumn("codec", expr("codec_of(blob)"))
       .withColumn("run_id", lit("run-99999-deadbeef"))
+      .withColumn("part_stub",
+        format_string("salt%03d__bin%08d", col("salt"), col("bin")))
       .drop("tokens")
-      .select("part_key", "run_id", "doc_id", "source", "salt", "bin", "n_tok", "codec", "blob")
-      .write.mode("append").partitionBy("source")
+      .select("part_key", "run_id", "doc_id", "source", "salt", "bin", "n_tok", "codec", "blob", "part_stub")
+      .write.mode("append").partitionBy("source", "part_stub")
       .parquet(ManifestSink.dataDir(out))
     assert(ManifestSink.readCommitted(spark, out).count() == before)
   }
@@ -95,6 +97,112 @@ class PipelineSpec extends AnyFunSuite {
         .select(col("doc_id"), col("part_key"), xxhash64(col("blob")).as("h"))
         .orderBy("doc_id").collect()
     assert(fingerprint(out4).sameElements(fingerprint(out1)))
+  }
+
+  test("sink layout: deterministic zero-padded partition dirs; files sorted by doc_id") {
+    val outA = freshDir(); val outB = freshDir()
+    val tokens = Tokens.synthetic(spark, 400)
+    EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = outA))
+    EncodePipeline.run(spark, Tokens.synthetic(spark, 400, numPartitions = 7),
+      cfgBase.copy(outDir = outB))
+    def stubDirs(root: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ManifestSink.dataDir(root)))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("part_stub="))
+        .toSet
+    }
+    // identical input (any parallelism) → identical human-readable dirs
+    val a = stubDirs(outA)
+    assert(a == stubDirs(outB) && a.nonEmpty)
+    assert(a.forall(_.matches("part_stub=salt\\d{3}__bin\\d{8}")), a.take(3))
+    // rows within each physical file are doc_id-sorted (reference sorts
+    // every output file, types/dataframes/sort.rs:9-18)
+    val perFile = spark.read.parquet(ManifestSink.dataDir(outA))
+      .select(input_file_name().as("f"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+    perFile.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids == ids.sorted, s"unsorted file: ${ids.take(5)}")
+    }
+  }
+
+  test("error accounting: a failed run is durably recorded; data invisible; retry clean") {
+    val out = freshDir()
+    val good = Tokens.synthetic(spark, 120)
+    // poison one row so the encode stage throws mid-run
+    val poisoned = good.withColumn("tokens",
+      when($"doc_id" === 42, expr("CAST(raise_error('poison pill') AS array<int>)"))
+        .otherwise($"tokens"))
+    intercept[Exception] {
+      EncodePipeline.run(spark, poisoned, cfgBase.copy(outDir = out))
+    }
+    val errs = ManifestSink.readErrorReports(out)
+    assert(errs.size == 1 && errs.head.contains("run-"), errs)
+    // nothing committed, orphans invisible
+    assert(ManifestSink.readCommitted(spark, out).count() == 0)
+    // retry with clean input succeeds and reports the prior failure
+    val s = EncodePipeline.run(spark, good, cfgBase.copy(outDir = out))
+    assert(s.committed == s.planned && s.nDocs == 120)
+    assert(s.priorFailedAttempts == 1)
+    assert(EncodePipeline.verifyRoundtrip(spark, good, out) == 0)
+  }
+
+  test("strict resume guard: grown input fails fast instead of silently skipping") {
+    val out = freshDir()
+    EncodePipeline.run(spark, Tokens.synthetic(spark, 300), cfgBase.copy(outDir = out))
+    // same generator, more docs: trailing bins of committed (source, salt)
+    // groups now contain extra docs under the SAME part_key
+    val grown = Tokens.synthetic(spark, 450)
+    val e = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, grown, cfgBase.copy(outDir = out))
+    }
+    assert(e.getMessage.contains("resume guard"))
+    // the documented escape hatches: fresh outDir, or partPrefix scoping
+    val s = EncodePipeline.run(spark, grown,
+      cfgBase.copy(outDir = out, partPrefix = "wave2"))
+    assert(s.committed == s.planned)
+  }
+
+  test("salt buckets auto-scale with input size and stay deterministic") {
+    assert(EncodePipeline.autoSaltBuckets(1000) == 16)
+    assert(EncodePipeline.autoSaltBuckets(100000000L) == 51)
+    assert(EncodePipeline.autoSaltBuckets(10000000000L) == 5001)
+    assert(EncodePipeline.autoSaltBuckets(Long.MaxValue / 2) == 8192)
+    // auto mode (saltBuckets = 0) plans identically across parallelism
+    val t1 = Tokens.synthetic(spark, 300, numPartitions = 1)
+    val t7 = Tokens.synthetic(spark, 300, numPartitions = 7)
+    val cfg = cfgBase.copy(outDir = "unused", saltBuckets = 0)
+    val p1 = EncodePipeline.plan(t1, cfg).select("doc_id", "part_key").orderBy("doc_id").collect()
+    val p7 = EncodePipeline.plan(t7, cfg).select("doc_id", "part_key").orderBy("doc_id").collect()
+    assert(p1.sameElements(p7))
+  }
+
+  test("manifest wall_ms is a real measurement (positive, bounded by run wall)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 2000)
+    val s = EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out,
+      targetBinTokens = 16384))
+    val mf = ManifestSink.committedManifest(spark, out)
+    val w = mf.agg(max("wall_ms"), sum("wall_ms")).collect()(0)
+    // per-partition walls are real per-task spans apportioned by tokens:
+    // none can exceed the whole run's wall clock
+    assert(w.getLong(0) <= s.wallMs, s"wall ${w.getLong(0)} vs run ${s.wallMs}")
+    // and at least one partition saw measurable time
+    assert(w.getLong(1) >= 0)
+  }
+
+  test("config validation rejects malformed parameters up front") {
+    val t = Tokens.synthetic(spark, 10)
+    def bad(c: EncodePipeline.Config) =
+      intercept[IllegalArgumentException](EncodePipeline.run(spark, t, c))
+    bad(cfgBase.copy(outDir = ""))
+    bad(cfgBase.copy(outDir = "x", targetBinTokens = 0))
+    bad(cfgBase.copy(outDir = "x", saltBuckets = -1))
+    bad(cfgBase.copy(outDir = "x", partPrefix = "a/b"))
+    bad(cfgBase.copy(outDir = "x", parquetCodec = "rot13"))
   }
 
   test("skew: giant hot-source arrays spread over salted bins") {

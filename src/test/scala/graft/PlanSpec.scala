@@ -40,18 +40,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
-  test("resume anti-join broadcasts the committed-keys side") {
+  test("resume anti-join: broadcast under the key limit, shuffle join past it") {
     val tokens = graft.sources.Tokens.synthetic(spark, 100)
     val out = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val cfg = graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 4096)
     graft.pipeline.EncodePipeline.run(spark, tokens, cfg)
     val committed = graft.sinks.ManifestSink.committedManifest(spark, out)
       .select("part_key").distinct()
-    val todo = graft.pipeline.EncodePipeline.plan(tokens, cfg)
-      .join(broadcast(committed), Seq("part_key"), "left_anti")
-    val plan = formatted(todo)
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(plan.contains("LeftAnti"), plan)
+    val n = committed.count()
+    val planned = graft.pipeline.EncodePipeline.plan(tokens, cfg)
+    // small committed set → broadcast
+    val small = formatted(graft.pipeline.EncodePipeline.resumeAntiJoin(
+      planned, committed, n, limit = 1L << 20))
+    assert(small.contains("BroadcastHashJoin") || small.contains("BroadcastNestedLoopJoin"), small)
+    assert(small.contains("LeftAnti"), small)
+    // past the limit (simulated with limit=0) → no broadcast of the
+    // committed side; a shuffle-based anti-join instead
+    val big = formatted(graft.pipeline.EncodePipeline.resumeAntiJoin(
+      planned, committed, n, limit = 0))
+    assert(big.contains("LeftAnti"), big)
+    assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big)
   }
 
   test("encode join hashes the metadata side and never sorts the arrays") {
