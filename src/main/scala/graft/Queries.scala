@@ -266,7 +266,9 @@ object Queries {
           "concat('0x', lower(hex(kec))) AS keccak_hex",
           "u256_to_string(word) AS word_string",
           "u256_to_f64(word) AS word_f64",
-          "u256_to_u64(word) AS word_u64") // null when > 63 bits (usual)
+          "u256_to_f32(word) AS word_f32",
+          "u256_to_u64(word) AS word_u64", // null when > 63 bits (usual)
+          "u256_to_u32(word) AS word_u32") // null when > 32 bits
     },
     None)
 

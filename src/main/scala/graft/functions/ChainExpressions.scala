@@ -199,6 +199,70 @@ case class U256ToDouble(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** u256_to_f32(binary[32]) -> float (cryo's {name}_f32 representation,
+  * dataframes/creation.rs:52-60).
+  */
+case class U256ToFloat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "u256_to_f32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    new java.math.BigInteger(1, bytes.asInstanceOf[Array[Byte]]).floatValue()
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = new java.math.BigInteger(1, $b).floatValue();")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** u256_to_u32(binary[32]) -> bigint in [0, 2^32), null on overflow
+  * (cryo's {name}_u32 representation, creation.rs:73-79; Spark has no
+  * unsigned 32-bit type, so the value widens to BIGINT and overflow is
+  * null, consistent with u256_to_u64).
+  */
+case class U256ToUInt(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "u256_to_u32"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = new java.math.BigInteger(1, bytes.asInstanceOf[Array[Byte]])
+    if (v.bitLength() > 32) null else java.lang.Long.valueOf(v.longValue())
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** u256_to_d128 — declared-but-unimplemented parity with the reference:
+  * requesting the Decimal128 representation fails at ANALYSIS time with
+  * the same message cryo raises at collect time
+  * ("DECIMAL128 not implemented", creation.rs:90-93).
+  */
+case class U256ToDecimal128(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "u256_to_d128"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeCheckResult.TypeCheckFailure("DECIMAL128 not implemented")
+
+  override def nullSafeEval(bytes: Any): Any =
+    throw new UnsupportedOperationException("DECIMAL128 not implemented")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** u256_to_u64(binary[32]) -> long, null when the value exceeds the 63-bit
   * signed range (cryo errors on overflow, creation.rs:72-80; null is the
   * Spark-idiomatic signal).

@@ -56,6 +56,12 @@ object GraftFunctions {
       exprs => U256ToDouble(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("u256_to_u64",
       exprs => U256ToLong(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_f32",
+      exprs => U256ToFloat(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_u32",
+      exprs => U256ToUInt(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("u256_to_d128",
+      exprs => U256ToDecimal128(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinhashSignature(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")

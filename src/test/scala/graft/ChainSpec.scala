@@ -44,6 +44,41 @@ class ChainSpec extends AnyFunSuite {
       "115792089237316195423570985008687907853269984665640564039457584007913129639935")
   }
 
+  test("u256 f32/u32 variants and d128 declared-but-errors parity") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  u256_to_f32(unhex('0000000000000000000000000000000000000000000000000de0b6b3a7640000')) AS f32,
+        |  u256_to_u32(unhex('00000000000000000000000000000000000000000000000000000000ffffffff')) AS u32_max,
+        |  u256_to_u32(unhex('0000000000000000000000000000000000000000000000000000000100000000')) AS u32_over,
+        |  u256_to_f32(unhex('ffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff')) AS f32_max
+        |""".stripMargin).collect()(0)
+    assert(r.getFloat(0) == 1.0e18f)
+    assert(r.getLong(1) == 0xffffffffL) // full unsigned 32-bit range
+    assert(r.isNullAt(2))               // 2^32 -> overflow -> null
+    // 2^256-1 exceeds f32 range → +Inf (Rust's parse::<f32>() agrees)
+    assert(r.getFloat(3).isPosInfinity)
+    // d128 parity with the reference: declared, fails at analysis with the
+    // reference's message (creation.rs:90-93 "DECIMAL128 not implemented")
+    val e = intercept[Exception] {
+      spark.sql("SELECT u256_to_d128(unhex('00ff'))").collect()
+    }
+    assert(e.getMessage.contains("DECIMAL128 not implemented"), e.getMessage)
+  }
+
+  test("K/M/B count literals parse like the reference CLI (blocks.rs:325-363)") {
+    import graft.util.Parse
+    assert(Parse.count("12345") == 12345L)
+    assert(Parse.count("400k") == 400000L)
+    assert(Parse.count("400K") == 400000L)
+    assert(Parse.count("1.5M") == 1500000L)
+    assert(Parse.count("2B") == 2000000000L)
+    assert(Parse.count("1_000_000") == 1000000L)
+    intercept[Exception](Parse.count("1.5"))   // bare fraction is ambiguous
+    intercept[Exception](Parse.count("12x"))
+    intercept[Exception](Parse.count(""))
+  }
+
   test("keccak256 through a Spark plan (hex roundtrip, wei formatting)") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -46,12 +46,18 @@ class GoldenSpec extends AnyFunSuite {
   test("codec choices, encoded sizes and checksums match the golden file") {
     val goldenPath = java.nio.file.Paths.get(
       "src/test/resources/golden/codec_golden.csv")
-    if (sys.props.contains("GOLDEN_REGEN") || !java.nio.file.Files.exists(goldenPath)) {
+    if (sys.props.contains("GOLDEN_REGEN")) {
       java.nio.file.Files.createDirectories(goldenPath.getParent)
       java.nio.file.Files.write(goldenPath,
         ("doc,n,codec,bytes,cks" +: currentRows).mkString("\n").getBytes)
       info(s"regenerated ${goldenPath}")
     }
+    // a missing golden file is a FAILURE, not a regeneration trigger: the
+    // file pins the wire format, and silently re-creating it would make
+    // the suite pass against whatever the code currently produces
+    assert(java.nio.file.Files.exists(goldenPath),
+      s"golden file missing: $goldenPath — an accidental deletion must not " +
+        "self-heal; regenerate intentionally with -DGOLDEN_REGEN=1")
     val golden = new String(java.nio.file.Files.readAllBytes(goldenPath))
       .split("\n").drop(1).toSeq
     val current = currentRows
