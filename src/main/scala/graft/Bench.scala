@@ -103,11 +103,27 @@ object Bench {
   /** One scaling-level measurement: (nTok, encodedBytes, encodeSecs, spinSecs). */
   private final case class LevelSample(nTok: Long, bytes: Long, encSecs: Double, spinSecs: Double)
 
+  /** CPU mask for a level: a STRIDED sample of the whole die rather than a
+    * contiguous prefix — on a shared VM a noisy neighbor tends to sit on a
+    * contiguous core range, and `0-7` would eat all of it while `0,4,…,28`
+    * eats 1/4. The offset rotates per round so no single core region can
+    * contaminate every round.
+    */
+  private def maskFor(cpus: Int, offset: Int): String = {
+    val total = Runtime.getRuntime.availableProcessors
+    if (cpus >= total) s"0-${total - 1}"
+    else {
+      val stride = math.max(1, total / cpus)
+      (0 until cpus).map(i => (offset + i * stride) % total).sorted.mkString(",")
+    }
+  }
+
   /** Run one level in a taskset-pinned child JVM. The child inherits this
     * JVM's flags (--add-opens etc. from build.sbt) and classpath; its
     * stdout is parsed for the BENCHCHILD line, stderr passes through.
     */
-  private def runChildLevel(cpus: Int, nDocs: Long, reps: Int): Option[LevelSample] = {
+  private def runChildLevel(cpus: Int, nDocs: Long, reps: Int,
+      offset: Int): Option[LevelSample] = {
     try {
       val javaBin = sys.props("java.home") + "/bin/java"
       val jvmArgs = {
@@ -115,7 +131,7 @@ object Bench {
         java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
       }
-      val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ jvmArgs ++
+      val cmd = Seq("taskset", "-c", maskFor(cpus, offset), javaBin) ++ jvmArgs ++
         Seq("-cp", sys.props("java.class.path"), "graft.BenchChild",
           cpus.toString, nDocs.toString, reps.toString)
       val pb = new ProcessBuilder(cmd: _*)
@@ -168,22 +184,33 @@ object Bench {
     def better(a: LevelSample, b: LevelSample): LevelSample =
       LevelSample(b.nTok, b.bytes, math.min(a.encSecs, b.encSecs),
         math.min(a.spinSecs, b.spinSecs))
-    for (_ <- 1 to rounds) {
-      val l = runChildLevel(lowCpus, nDocs, reps).getOrElse {
+    def onePair(offset: Int): Unit = {
+      val l = runChildLevel(lowCpus, nDocs, reps, offset).getOrElse {
         isolation = "in-process"; runInProcessLevel(lowCpus, nDocs, reps)
       }
       low = better(low, l)
-      val f = runChildLevel(cpus, nDocs, reps).getOrElse {
+      val f = runChildLevel(cpus, nDocs, reps, offset).getOrElse {
         isolation = "in-process"; runInProcessLevel(cpus, nDocs, reps)
       }
       full = better(full, f)
       require(l.nTok == f.nTok, "generator must be parallelism-independent")
     }
+    for (r <- 1 to rounds) onePair(r - 1)
+    def rawEff = (low.encSecs / full.encSecs) / (cpus.toDouble / lowCpus)
+    // Adaptive guard: fixed-work scaling beyond ~1 is physically
+    // impossible, and far below the spin ceiling usually means one level
+    // hit a contention window. Extra best-of rounds can only move the
+    // estimate TOWARD truth (min over more samples), so retry up to twice.
+    var extra = 0
+    while ((rawEff > 1.15 || rawEff < 0.4) && extra < 2) {
+      onePair(rounds + extra)
+      extra += 1
+    }
     val nTok = full.nTok
     val encBytes = full.bytes
     val thrLow = nTok / low.encSecs
     val thrFull = nTok / full.encSecs
-    val efficiency = (thrFull / thrLow) / (cpus.toDouble / lowCpus)
+    val efficiency = rawEff
     val spinEff = (low.spinSecs / full.spinSecs) / (cpus.toDouble / lowCpus)
 
     val spark = session(cpus)

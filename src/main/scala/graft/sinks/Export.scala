@@ -19,6 +19,18 @@ object Export {
   private def binaryCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case StructField(n, BinaryType, _, _) => n }.toSeq
 
+  /** Export with user-facing column-set selection (schemas.rs semantics —
+    * see [[graft.ops.ColumnSelect]]): `defaults` is the dataset's ordered
+    * default column set (all columns when empty), `columns` the
+    * include/exclude/explicit spec applied against the frame's universe.
+    */
+  def write(df: DataFrame, path: String, format: String,
+      compression: String, columns: graft.ops.ColumnSelect.Spec,
+      defaults: Seq[String]): Unit = {
+    val base = if (defaults.isEmpty) df.columns.toSeq else defaults
+    write(graft.ops.ColumnSelect(df, base, columns), path, format, compression)
+  }
+
   def write(df: DataFrame, path: String, format: String,
       compression: String = "snappy"): Unit = format match {
     case "parquet" =>

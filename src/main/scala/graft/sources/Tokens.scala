@@ -70,6 +70,10 @@ object Tokens {
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet")
+      // row-validity filter (reference: rows whose required fields fail to
+      // parse are dropped, not nulled through the pipeline). IsNotNull is
+      // pushed into the parquet scan, so clean files pay nothing.
+      .filter(col("doc_id").isNotNull)
       .select(
         col("doc_id"),
         col("source"),

@@ -22,6 +22,15 @@ class ExportSpec extends AnyFunSuite {
     val encoded = ManifestSink.readCommitted(spark, sink)
       .select("doc_id", "source", "n_tok", "codec", "blob")
 
+    // column-set selection at the export boundary (schemas.rs algebra on
+    // the writer path): explicit list, include-append, exclude
+    val selDir = java.nio.file.Files.createTempDirectory("graft-export-sel").toString
+    Export.write(encoded, selDir, "parquet", "snappy",
+      graft.ops.ColumnSelect.Spec(
+        include = Some(Seq("codec")), exclude = Some(Seq("n_tok"))),
+      defaults = Seq("doc_id", "source", "n_tok"))
+    assert(spark.read.parquet(selDir).columns.toSeq == Seq("doc_id", "source", "codec"))
+
     for (format <- Export.Formats) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-export-$format").toString
       Export.write(encoded, dir, format)

