@@ -109,6 +109,14 @@ object OpsQueries {
     },
     None) // approximate: recall vs brute force asserted in OpsSpec
 
+  private val annIvf = Q(
+    (s, dir) => {
+      val e = embeds(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3,
+        nCentroids = 16, nProbes = 4)
+    },
+    None) // approximate: recall vs brute force asserted in OpsSpec
+
   private val textQuality = Q(
     (s, dir) => TextOps.quality(docs(s, dir)),
     Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -192,6 +200,7 @@ object OpsQueries {
     "dedup_embed" -> dedupEmbed,
     "ann_brute_top1" -> annBrute,
     "ann_lsh_topk" -> annLsh,
+    "ann_ivf_topk" -> annIvf,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,

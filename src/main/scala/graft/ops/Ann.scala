@@ -62,6 +62,98 @@ object Ann {
       .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"))
   }
 
+  /** Exact cosine re-rank of a candidate pair set (the shared tail of
+    * every approximate index: candidates are few, vectors join to them,
+    * never to each other).
+    */
+  private def rerank(candidates: DataFrame, corpus: DataFrame,
+      probes: DataFrame, k: Int): DataFrame = {
+    val c = normalized(corpus).select(col("vec_id").as("nbr_id"), col("unit").as("nbr_unit"))
+    val p = normalized(probes).select(col("vec_id").as("probe_id"), col("unit").as("probe_unit"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("nbr_id"))
+    candidates
+      .join(p, "probe_id")
+      .join(c, "nbr_id")
+      .withColumn("cosine", dot(col("probe_unit"), col("nbr_unit")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"))
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** One assignment pass: nearest (max-dot) centroid per vector. Centroids
+    * broadcast (they are a model, bounded by nCentroids × dim).
+    */
+  private def assign(unit: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cluster"))
+    unit.crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("unit"), col("cvec")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select("vec_id", "unit", "cluster")
+  }
+
+  /** IVF coarse quantizer: spherical k-means (fixed iterations, fully
+    * deterministic — init is the lowest vec_ids, ties break on cluster id)
+    * trained on a bounded sample. Centroids collect to the driver between
+    * iterations (≤ nCentroids × dim doubles — a model, not data), so the
+    * plan lineage stays flat. Returns (cluster, cvec) unit centroids.
+    */
+  def ivfTrain(embeds: DataFrame, nCentroids: Int = 16, iters: Int = 3,
+      sampleSize: Int = 100000): DataFrame = {
+    val spark = embeds.sparkSession
+    val unit = normalized(embeds).select("vec_id", "unit")
+    val train = unit.orderBy("vec_id").limit(sampleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    def toDf(cs: Array[(Int, Array[Double])]): DataFrame =
+      cs.toSeq.toDF("cluster", "cvec")
+    var cents = toDf(
+      train.orderBy("vec_id").limit(nCentroids).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) })
+    for (_ <- 1 to iters) {
+      val assigned = assign(train, cents)
+      // element-wise mean per cluster (posexplode + agg — the standard
+      // Spark centroid update), re-normalized (spherical k-means)
+      val next = assigned
+        .select(col("cluster"), posexplode(col("unit")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg("v").as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, m))), x -> x.m)").as("mvec"))
+        .withColumn("cvec", call_function("vec_normalize", col("mvec")))
+        .select("cluster", "cvec")
+      cents = toDf(next.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)))
+    }
+    train.unpersist()
+    cents
+  }
+
+  /** IVF top-k: assign the corpus to inverted lists once, probe the
+    * `nProbes` nearest centroids per query, exact-rerank only those lists.
+    * Shuffle carries (vec_id, cluster) pairs; vectors move only into the
+    * final bounded candidate join. Recall/cost dial: nProbes/nCentroids.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbes: Int = 4, iters: Int = 3): DataFrame = {
+    val cents = ivfTrain(corpus, nCentroids, iters)
+    val cIdx = assign(normalized(corpus).select("vec_id", "unit"), cents)
+      .select(col("vec_id").as("nbr_id"), col("cluster"))
+    val pw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cluster"))
+    val pLists = normalized(probes).select(col("vec_id"), col("unit"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("unit"), col("cvec")))
+      .withColumn("r", row_number().over(pw))
+      .filter(col("r") <= nProbes)
+      .select(col("vec_id").as("probe_id"), col("cluster"))
+    val candidates = pLists.join(cIdx, Seq("cluster"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .select("probe_id", "nbr_id")
+      .distinct()
+    rerank(candidates, corpus, probes, k)
+  }
+
   /** LSH top-k: candidates = corpus vectors sharing any table bucket with
     * the probe (OR-amplified), deduped, then exact cosine + per-probe top-k.
     */
@@ -75,15 +167,6 @@ object Ann {
       .filter(col("probe_id") =!= col("nbr_id"))
       .select("probe_id", "nbr_id")
       .distinct()
-    val c = normalized(corpus).select(col("vec_id").as("nbr_id"), col("unit").as("nbr_unit"))
-    val p = normalized(probes).select(col("vec_id").as("probe_id"), col("unit").as("probe_unit"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("nbr_id"))
-    candidates
-      .join(p, "probe_id")
-      .join(c, "nbr_id")
-      .withColumn("cosine", dot(col("probe_unit"), col("nbr_unit")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank").cast("long").as("rank"), col("nbr_id"))
+    rerank(candidates, corpus, probes, k)
   }
 }

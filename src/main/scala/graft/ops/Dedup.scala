@@ -57,9 +57,17 @@ object Dedup {
     * 16-bit simhash chunk collision.)
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 64): DataFrame =
+    minhashCandidatesFromSig(withMinhash(docs, k).select("doc_id", "minhash"),
+      k, bands, maxBucket)
+
+  /** Candidate generation over a precomputed signature table — callers
+    * that also need the signatures (est-jaccard, verify joins) pass them
+    * in once instead of re-running the kernel per plan reference.
+    */
+  def minhashCandidatesFromSig(sig: DataFrame, k: Int = 32, bands: Int = 8,
       maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
-    val sig = withMinhash(docs, k).select("doc_id", "minhash")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")
     val buckets = sig
       .select(col("doc_id"),
@@ -89,7 +97,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val sig = withMinhash(docs, k).select("doc_id", "minhash")
-    minhashCandidates(docs, k, bands, maxBucket)
+    minhashCandidatesFromSig(sig, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
       .withColumn("est_jaccard", expr(

@@ -75,6 +75,43 @@ object StreamingEncode {
       .parquet(inputDir)
       .dropDuplicates("doc_id")
 
+  final case class BinState(cumTokens: Long)
+  final case class DocBin(doc_id: Long, source: String, n_tok: Int, bin: Long)
+
+  /** Custom-state streaming operator (`flatMapGroupsWithState`): the
+    * streaming form of the batch bin-packing window. Per-source cumulative
+    * token counts persist in the state store ACROSS micro-batches, so bin
+    * numbers keep growing instead of restarting at 0 each batch — the
+    * batch window can't express that, `GroupState` can. Docs are ordered
+    * by doc_id within each (group, batch) for determinism.
+    */
+  def binStream(spark: SparkSession, inputDir: String,
+      targetBinTokens: Long,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.Dataset[DocBin] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val reader = spark.readStream.schema(tokenSchema)
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader)
+      .parquet(inputDir)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .as[(Long, String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, rows: Iterator[(Long, String, Int)],
+         state: GroupState[BinState]) => {
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (docId, _, nTok) =>
+            val bin = cum / targetBinTokens
+            cum += nTok
+            DocBin(docId, source, nTok, bin)
+          }
+          state.update(BinState(cum))
+          out.iterator
+        })
+  }
+
   def runToCompletion(q: StreamingQuery): Unit = {
     q.awaitTermination()
   }

@@ -107,6 +107,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.4, s"recall $recall")
   }
 
+  test("ivf recall vs brute force; full probe sweep degrades to exact") {
+    val probes = embeds.filter($"vec_id" < 30)
+    val brute = Ann.bruteForceTopK(embeds, probes, k = 3)
+      .select($"probe_id", $"nbr_id")
+    val ivf = Ann.ivfTopK(embeds, probes, k = 3, nCentroids = 8, nProbes = 3)
+      .select($"probe_id", $"nbr_id")
+    val recall = brute.intersect(ivf).count().toDouble / brute.count()
+    assert(recall > 0.4, s"recall $recall")
+    // probing every list = exhaustive search = exact answer
+    val all = Ann.ivfTopK(embeds, probes, k = 3, nCentroids = 8, nProbes = 8)
+      .select($"probe_id", $"nbr_id")
+    assert(all.exceptAll(brute).count() == 0 && brute.exceptAll(all).count() == 0)
+  }
+
   test("embedding near-dup pairs match the exact threshold set") {
     val exactPairs = {
       val n = Ann.normalized(embeds).select($"vec_id", $"unit")

@@ -48,6 +48,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("custom-state bin-packing carries cumulative counts across micro-batches") {
+    import org.apache.spark.sql.expressions.Window
+    val in = freshDir()
+    val t = Tokens.synthetic(spark, 300).cache()
+    // two files with disjoint increasing doc_id ranges and distinct mtimes
+    // -> two micro-batches processed in doc_id order
+    t.filter(col("doc_id") < 150).repartition(1).write.mode("append").parquet(in)
+    Thread.sleep(1100)
+    t.filter(col("doc_id") >= 150).repartition(1).write.mode("append").parquet(in)
+    val q = StreamingEncode.binStream(spark, in, targetBinTokens = 8192,
+      maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory").queryName("bins")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT doc_id, bin FROM bins").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size == 300)
+    // batch twin: one global cumulative window per source — equal ONLY if
+    // the GroupState carried counts across the batch boundary (a per-batch
+    // computation would restart every source's bins at 0 in batch 2)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = t.select(col("doc_id"), col("source"), col("n_tok"))
+      .withColumn("bin",
+        floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(8192L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful streaming dedup drops replayed doc_ids") {
     val in = freshDir()
     val tokens = Tokens.synthetic(spark, 100).cache()
