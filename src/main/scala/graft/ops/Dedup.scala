@@ -76,18 +76,21 @@ object Dedup {
           .as(Seq("band_id", "band_hash")))
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_min", min("doc_id").over(w))
-    val small = buckets.filter(col("bucket_n") <= maxBucket)
-      .select("doc_id", "band_id", "band_hash")
-    val allPairs = small.as("a")
-      .join(small.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val starPairs = buckets
-      .filter(col("bucket_n") > maxBucket && col("doc_id") =!= col("bucket_min"))
-      .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
-    allPairs.unionByName(starPairs).distinct()
+    // Single anchor⨝member join (plan-audited shape): an ANCHOR is every
+    // member of a small bucket but only the min of an oversized one, so a
+    // giant dup cluster emits linear star edges while small buckets emit
+    // all-pairs. Both join sides are filters of the SAME windowed subtree
+    // and keep its (band_id, band_hash) partitioning — the join adds no
+    // exchange, and there is no union branch recomputing the signatures.
+    val anchors = buckets
+      .filter(col("bucket_n") <= maxBucket || col("doc_id") === col("bucket_min"))
+      .select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val members = buckets
+      .select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
+    anchors.join(members, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** MinHash + LSH near-dup pairs with estimated Jaccard = matching

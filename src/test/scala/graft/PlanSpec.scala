@@ -33,11 +33,14 @@ class PlanSpec extends AnyFunSuite {
     val plan = formatted(SparkEntry.queries("codec_auto_roundtrip")(spark, dir))
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
     // per-row derive→encode→decode→checksum is pure map work: no exchange
-    // anywhere in the plan. (The projection itself is not WSCG-fused
-    // because Spark's own higher-order functions — transform/aggregate used
-    // by the generator/checksum — are CodegenFallback; encode/decode over
-    // parquet-resident tokens DO fuse, asserted in ExpressionSpec.)
+    // anywhere in the plan
     assert(!plan.contains("Exchange"), plan)
+    // and since round 2 the WHOLE chain fuses into one codegen stage: the
+    // generator, codecs and checksum are all native `doGenCode` kernels
+    // (the round-1 interpreted-HOF checksum used to break the fusion)
+    val simple = SparkEntry.queries("codec_auto_roundtrip")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(simple.contains("*(1) Project"), simple)
   }
 
   test("resume anti-join: broadcast under the key limit, shuffle join past it") {
