@@ -103,9 +103,9 @@ object ChecksumKernels {
     var i = 0
     while (i < n) {
       s += (i + 1).toLong * arr.getInt(i)
-      // lazy reduction: terms are < 2^44 ((i+1) ≤ n, tok < 2^31), so
-      // reducing above 2^62 keeps any array length overflow-free
-      if (s >= (1L << 62)) s %= Mod
+      // lazy reduction: |terms| ≤ 2^62 ((i+1) ≤ 2^31, |tok| ≤ 2^31), so
+      // reducing beyond ±2^62 keeps any array length overflow-free
+      if (s >= (1L << 62) || s <= -(1L << 62)) s %= Mod
       i += 1
     }
     s % Mod
