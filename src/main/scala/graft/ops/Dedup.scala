@@ -187,21 +187,29 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
         .as(Seq("chunk_id", "chunk")))
-    // skip degenerate buckets: a 16-bit chunk shared by >maxBucket docs is a
-    // corpus-wide commonality, not near-duplication, and would go quadratic
-    // (standard LSH bucket cap; bounds worst-case join fan-out)
-    val bounded = chunks.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("chunk_id", "chunk")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.chunk_id") === col("b.chunk_id") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+    // Bucket cap via the anchor⨝member shape (see minhashCandidatesFromSig):
+    // a 16-bit chunk shared by >maxBucket docs is usually corpus-wide
+    // commonality and would go quadratic, so oversized buckets emit only
+    // star candidates against the bucket min — O(n) spurious candidates
+    // that the exact hamming recheck filters, while a giant EXACT-dup
+    // cluster (hamming 0 to the anchor) is still fully recovered. (The
+    // round-1 cap dropped oversized buckets outright, silently losing
+    // identical-doc clusters bigger than the cap.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk_id", "chunk")
+    val bucketed = chunks
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("doc_id").over(w))
+    val anchors = bucketed
+      .filter(col("bucket_n") <= maxBucket || col("doc_id") === col("bucket_min"))
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("chunk_id"), col("chunk"))
+    val members = bucketed
+      .select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+        col("chunk_id"), col("chunk"))
+    anchors.join(members, Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -211,16 +219,24 @@ object Dedup {
     * never goes quadratic in the corpus.
     */
   def embeddingPairs(embeds: DataFrame, threshold: Double = 0.95,
-      planes: Int = 8, tables: Int = 4): DataFrame = {
+      planes: Int = 8, tables: Int = 4, maxBucket: Int = 256): DataFrame = {
     val unit = Ann.normalized(embeds).select(col("vec_id"), col("unit"))
+    // anchor⨝member with a bucket cap, like the token-LSH candidate
+    // stages: a hyperplane bucket holding >maxBucket vectors (duplicate
+    // embeddings, degenerate regions) emits linear star candidates
+    // instead of n²/2; the exact cosine recheck filters the extras
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("table_id", "bucket")
     val idx = Ann.lshIndex(unit, planes, tables)
       .select("vec_id", "table_id", "bucket")
-    val candidates = idx.as("a")
-      .join(idx.as("b"),
-        col("a.table_id") === col("b.table_id") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("bucket_min", min("vec_id").over(w))
+    val anchors = idx
+      .filter(col("bucket_n") <= maxBucket || col("vec_id") === col("bucket_min"))
+      .select(col("vec_id").as("vec_a"), col("table_id"), col("bucket"))
+    val members = idx.select(col("vec_id").as("vec_b"), col("table_id"), col("bucket"))
+    val candidates = anchors.join(members, Seq("table_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .distinct()
     candidates
       .join(unit.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("unit", "unit_a"), "vec_a")

@@ -83,6 +83,20 @@ class OpsSpec extends AnyFunSuite {
     assert(u.filter($"native" =!= $"sql_form").count() == 0)
   }
 
+  test("simhash bucket cap: giant exact-dup cluster recovered linearly, not dropped") {
+    val one = docs.filter($"doc_id" === 1).select($"text").collect()(0).getString(0)
+    val clones = spark.range(1, 500).select(
+      ($"id" + 300000).as("doc_id"), lit(one).as("text"))
+    val corpus = docs.filter($"doc_id" === 1).select("doc_id", "text").unionByName(clones)
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 0, maxBucket = 64).cache()
+    // every clone connects to the anchor (doc 1 = bucket min) at hamming 0;
+    // the round-1 drop-the-bucket cap returned ZERO pairs here
+    assert(pairs.filter($"doc_a" === 1 && $"hamming" === 0).count() == 499)
+    // and nothing quadratic survived the cap
+    assert(pairs.count() < 2000, s"pair blow-up: ${pairs.count()}")
+    pairs.unpersist()
+  }
+
   test("simhash: identical docs collide, hamming is symmetric-sane") {
     val sig = Dedup.simhash(docs).select("doc_id", "simhash")
     val dupSig = Dedup.simhash(
