@@ -228,7 +228,7 @@ object Bench {
     val benchQueries = Seq(
       "scan_tokens", "stats_agg", "binpack_window", "codec_auto",
       "codec_auto_roundtrip", "encode_fsst", "roundtrip_identity",
-      "dedup_exact", "dedup_minhash", "dedup_verified", "dedup_simhash",
+      "dedup_exact", "dedup_minhash", "dedup_verified", "dedup_clusters", "dedup_simhash",
       "ngram_jaccard", "ann_brute_top1", "ann_lsh_topk", "ann_ivf_topk", "text_quality",
       "text_fingerprint", "media_features", "events_hourly", "trace_frames",
       "decode_event")

@@ -72,6 +72,47 @@ object OpsQueries {
            |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
            |WHERE jac_pct >= 80""".stripMargin))
 
+  /** The last stage of the dedup pipeline: near-dup pairs → connected
+    * components → per-doc cluster id (= keeper doc). Oracle replays the
+    * same edge set exactly (all-pairs jac ≥ 80 at gate scale — equal to
+    * the LSH candidates, see dedup_verified) and closes it transitively
+    * with a recursive CTE.
+    */
+  private val dedupClusters = Q(
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.verifiedPairs(d, minJacPct = 80).select("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    },
+    Some("""WITH RECURSIVE g AS (
+           |  SELECT doc_id,
+           |    list_distinct(CASE WHEN len(words) >= 3 THEN
+           |      list_transform(range(0, len(words) - 2),
+           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+           |    ELSE [array_to_string(words, ' ')] END) AS grams
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |), p AS (
+           |  SELECT a.doc_id AS da, b.doc_id AS db
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+           |  WHERE floor(100.0 * len(list_intersect(a.grams, b.grams)) /
+           |    len(list_distinct(list_concat(a.grams, b.grams)))) >= 80
+           |), e AS (
+           |  SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p
+           |), reach AS (
+           |  SELECT a AS node, b AS label FROM e
+           |  UNION
+           |  SELECT r.node, e2.b FROM reach r JOIN e e2 ON e2.a = r.label
+           |), cl AS (
+           |  SELECT node, min(label) AS mn FROM reach GROUP BY node
+           |)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(CASE WHEN cl.mn < d.doc_id THEN cl.mn ELSE d.doc_id END,
+           |                d.doc_id) AS BIGINT) AS cluster
+           |FROM documents d LEFT JOIN cl ON cl.node = d.doc_id""".stripMargin))
+
   private val dedupMinhash = Q(
     (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2)
       .select(col("doc_a"), col("doc_b"),
@@ -195,6 +236,7 @@ object OpsQueries {
     "dedup_bow" -> dedupBow,
     "ngram_jaccard" -> ngramJaccard,
     "dedup_verified" -> dedupVerified,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

@@ -214,6 +214,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph: cluster id = min
+    * doc_id reachable (the keeper). Label-propagation (HashToMin family):
+    * every iteration is one (edges ⨝ labels) shuffle of slim
+    * (node, label) pairs with map-side combine — no driver-side graph, so
+    * it runs at corpus scale; near-dup clusters are shallow, so the loop
+    * converges in a handful of iterations (maxIter guards pathological
+    * chains). Returns (node, label); nodes absent from `pairs` are their
+    * own singleton clusters (callers left-join + coalesce).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy("src").agg(min("nl").as("nbr_min"))
+        .withColumnRenamed("src", "node")
+      val stepped = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = stepped.filter(col("new_label") < col("label")).count()
+      labels.unpersist()
+      labels = stepped.select(col("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by
     * random-hyperplane LSH (see [[Ann.hyperplaneBuckets]]) so the pair join
     * never goes quadratic in the corpus.

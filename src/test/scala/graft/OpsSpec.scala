@@ -69,6 +69,22 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.exceptAll(lsh).count() == 0)
   }
 
+  test("connected components: chains merge, disjoint clusters stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    // and a real clone cluster collapses to its min doc keeper
+    val one = docs.filter($"doc_id" === 2).select($"text").collect()(0).getString(0)
+    val clones = spark.range(0, 6).select(($"id" + 500000).as("doc_id"), lit(one).as("text"))
+    val corpus = docs.filter($"doc_id" === 2).select("doc_id", "text").unionByName(clones)
+    val cp = Dedup.verifiedPairs(corpus, minJacPct = 80).select("doc_a", "doc_b")
+    val cl = Dedup.connectedComponents(cp).collect().map(r => r.getLong(1)).distinct
+    assert(cl.length == 1 && cl(0) == 2L)
+  }
+
   test("char_fingerprint kernel ≡ SQL lambda mirror") {
     graft.functions.GraftFunctions.register(spark)
     val df = docs.select(
