@@ -75,6 +75,24 @@ object StreamingEncode {
       .parquet(inputDir)
       .dropDuplicates("doc_id")
 
+  /** Streaming NEAR-dup dedup: first-seen-wins on the 64-bit SimHash of
+    * the token stream (state-store backed like [[dedupStream]], but keyed
+    * on content similarity rather than identity — reordered/near-identical
+    * re-crawls collapse too). Token arrays are rendered to their decimal
+    * word form so the signature matches the batch simhash of the same
+    * content.
+    */
+  def nearDedupStream(spark: SparkSession, inputDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.readStream
+      .schema(tokenSchema)
+      .parquet(inputDir)
+      .withColumn("simhash",
+        org.apache.spark.sql.functions.call_function("simhash64",
+          expr("transform(tokens, x -> CAST(x AS STRING))")))
+      .dropDuplicates("simhash")
+  }
+
   final case class BinState(cumTokens: Long)
   final case class DocBin(doc_id: Long, source: String, n_tok: Int, bin: Long)
 

@@ -78,6 +78,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup dedup collapses re-crawled identical content") {
+    val in = freshDir()
+    val tokens = Tokens.synthetic(spark, 80).cache()
+    tokens.write.mode("overwrite").parquet(in)
+    // re-crawl: same content under NEW doc_ids — identity dedup would keep
+    // them, content-similarity dedup must drop them
+    tokens.withColumn("doc_id", col("doc_id") + 700000)
+      .write.mode("append").parquet(in)
+    val q = StreamingEncode.nearDedupStream(spark, in)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardedup_out")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT count(*) FROM neardedup_out").collect()(0).getLong(0)
+    val distinctContent = tokens.count()
+    assert(n == distinctContent, s"expected $distinctContent rows, got $n")
+  }
+
   test("stateful streaming dedup drops replayed doc_ids") {
     val in = freshDir()
     val tokens = Tokens.synthetic(spark, 100).cache()
