@@ -177,6 +177,28 @@ object EncodePipeline {
 
   private def runGuarded(spark: SparkSession, tokens: DataFrame, cfg: Config,
       runId: String, t0: Long): RunSummary = {
+    // part_keys are positional (source, salt, bin) coordinates: every run
+    // against this sink must use the same geometry or identical docs land
+    // under fresh keys and resume sees nothing to skip (silent dupes).
+    // First run pins it; later runs validate — and auto-salt mode reuses
+    // the pin, so input growth can't shift the salt count mid-sink.
+    val salts = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
+      case Some((pinSalts, pinBin)) =>
+        if (pinBin != cfg.targetBinTokens)
+          throw new IllegalStateException(
+            s"sink ${cfg.outDir} was created with targetBinTokens=$pinBin; " +
+              s"config says ${cfg.targetBinTokens}. Changing bin geometry on " +
+              "an existing sink would duplicate committed content — use a " +
+              "fresh outDir.")
+        if (cfg.saltBuckets > 0 && cfg.saltBuckets != pinSalts)
+          throw new IllegalStateException(
+            s"sink ${cfg.outDir} was created with saltBuckets=$pinSalts; " +
+              s"config says ${cfg.saltBuckets}. Use a fresh outDir.")
+        pinSalts
+      case None => resolveSalts(tokens, cfg)
+    }
+    ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
+
     val committedMan = ManifestSink.committedManifest(spark, cfg.outDir)
     val committedKeysDf = committedMan.select("part_key").distinct()
     val nCommitted = committedKeysDf.count()
@@ -185,7 +207,7 @@ object EncodePipeline {
     // plan/skip/limit accounting and the key join never re-derive the
     // input; the heavy arrays are read exactly once per run, in the encode
     // pass (the reference's plan-then-collect shape, freeze.rs:26-125).
-    val plannedParts = plan(tokens, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val plannedParts = plan(tokens, cfg, salts).persist(StorageLevel.MEMORY_AND_DISK)
     val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog)

@@ -115,6 +115,43 @@ object ManifestSink {
         StandardCharsets.UTF_8)
     }
 
+  // ---- pinned plan geometry: part_keys are positional (source, salt,
+  // bin) coordinates, so EVERY run against a sink must use the same salt
+  // count and bin size — otherwise identical docs land under fresh keys
+  // and the resume anti-join can't see they were already committed
+  // (silent duplication). The first run pins the geometry; later runs
+  // validate against it (and auto-salt mode reuses the pin, which also
+  // keeps auto salts stable if the input grows past a sizing boundary).
+
+  private def configPath(root: String): Path = Paths.get(root, "_plan_config.json")
+
+  /** Pin (saltBuckets, targetBinTokens) once per sink root (atomic; a
+    * concurrent/crashed first run leaves either nothing or the one value).
+    */
+  def pinPlanConfig(root: String, saltBuckets: Int, targetBinTokens: Long): Unit = {
+    val p = configPath(root)
+    if (Files.exists(p)) return
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"_tmp_plan_config.json")
+    Files.write(tmp,
+      s"""{"salt_buckets":$saltBuckets,"target_bin_tokens":$targetBinTokens}"""
+        .getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+  }
+
+  /** (saltBuckets, targetBinTokens) pinned at sink creation, if any. */
+  def pinnedPlanConfig(root: String): Option[(Int, Long)] = {
+    val p = configPath(root)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val re = """\{"salt_buckets":(\d+),"target_bin_tokens":(\d+)\}""".r
+    s match {
+      case re(sb, tb) => Some((sb.toInt, tb.toLong))
+      case _ => throw new IllegalStateException(s"corrupt plan config at $p: $s")
+    }
+  }
+
   // ---- error accounting (reports.rs:9-127 analog: a run's failure is
   // recorded durably, not just thrown; its data stays invisible because
   // the commit marker was never written) ----

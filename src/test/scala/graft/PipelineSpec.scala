@@ -194,6 +194,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(w.getLong(1) >= 0)
   }
 
+  test("plan geometry is pinned per sink: conflicting salt/bin configs fail fast") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 200)
+    EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out)) // salts=4
+    // same geometry resumes cleanly (everything skipped)
+    val again = EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out))
+    assert(again.committed == 0 && again.skipped == again.planned)
+    // different salt count: refused (fresh keys would duplicate content)
+    val e1 = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out, saltBuckets = 8))
+    }
+    assert(e1.getMessage.contains("saltBuckets"))
+    // different bin size: refused
+    val e2 = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, tokens,
+        cfgBase.copy(outDir = out, targetBinTokens = 8192))
+    }
+    assert(e2.getMessage.contains("targetBinTokens"))
+    // auto mode (saltBuckets = 0) adopts the pinned geometry
+    val auto = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, saltBuckets = 0))
+    assert(auto.committed == 0 && auto.skipped == auto.planned)
+  }
+
   test("config validation rejects malformed parameters up front") {
     val t = Tokens.synthetic(spark, 10)
     def bad(c: EncodePipeline.Config) =
