@@ -92,6 +92,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("trace_frames: generator runs in place — no exchange, codegen'd scan side") {
+    val plan = formatted(SparkEntry.queries("trace_frames")(spark, dir))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("dedup_verified: capped candidate path never sort-merge-joins the gram sets") {
+    val plan = formatted(SparkEntry.queries("dedup_verified")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one bucket-stats window, not one per branch (the anchor⨝member shape)
+    assert("Window".r.findAllIn(
+      SparkEntry.queries("dedup_verified")(spark, dir)
+        .queryExecution.executedPlan.toString).length == 1, plan)
+  }
+
+  test("ivf assignment broadcasts the centroid model") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ops.Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 2,
+      nCentroids = 4, nProbes = 2, iters = 1)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("ann brute force broadcasts the probe side") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val df = graft.ops.Ann.bruteForceTopK(e, e.filter(col("vec_id") < 20), k = 1)
