@@ -245,6 +245,25 @@ object Bench {
       name -> secs
     }
 
+    val outJson = benchJson(queryTimes, errors.toSeq, full, low, sfDir, nTok,
+      encBytes, thrLow, thrFull, efficiency, spinEff, lowCpus, cpus,
+      pipeSummary, pipeSecs, isolation)
+    // stdout line is the driver contract; the file copy is for human
+    // inspection after the fact
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last.json"),
+      outJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(outJson)
+    spark.stop()
+  }
+
+  private def benchJson(queryTimes: Seq[(String, Double)], errors: Seq[String],
+      full: LevelSample, low: LevelSample, sfDir: String, nTok: Long,
+      encBytes: Long, thrLow: Double, thrFull: Double, efficiency: Double,
+      spinEff: Double, lowCpus: Int, cpus: Int,
+      pipeSummary: EncodePipeline.RunSummary, pipeSecs: Double,
+      isolation: String): String = {
     val qJson = (queryTimes ++ Seq(
       "encode_throughput" -> full.encSecs,
       "encode_pipeline" -> pipeSecs))
@@ -252,18 +271,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + full.encSecs + pipeSecs
-    println(
-      s"""{"metric":"encode+ops bench (tokens/sec, bytes/token, N->4N scaling)",""" +
-        f""""value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir",""" +
-        f""""tokens":$nTok,"tokens_per_sec":${thrFull}%.0f,"bytes_per_token":${encBytes.toDouble / nTok}%.4f,""" +
-        f""""pipeline_tokens_per_sec":${pipeSummary.nTokens / pipeSecs}%.0f,""" +
-        f""""pipeline_bytes_per_token":${pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens}%.4f,""" +
-        f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"isolation":"$isolation",""" +
-        f""""tokens_per_sec_low":${thrLow}%.0f,""" +
-        f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f,""" +
-        f""""machine_spin_efficiency":$spinEff%.3f,""" +
-        f""""normalized_efficiency":${math.min(1.0, efficiency / spinEff)}%.3f}}""")
-    spark.stop()
+    s"""{"metric":"encode+ops bench (tokens/sec, bytes/token, N->4N scaling)",""" +
+      f""""value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir",""" +
+      f""""tokens":$nTok,"tokens_per_sec":${thrFull}%.0f,"bytes_per_token":${encBytes.toDouble / nTok}%.4f,""" +
+      f""""pipeline_tokens_per_sec":${pipeSummary.nTokens / pipeSecs}%.0f,""" +
+      f""""pipeline_bytes_per_token":${pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens}%.4f,""" +
+      f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"isolation":"$isolation",""" +
+      f""""tokens_per_sec_low":${thrLow}%.0f,""" +
+      f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f,""" +
+      f""""machine_spin_efficiency":$spinEff%.3f,""" +
+      f""""normalized_efficiency":${math.min(1.0, efficiency / spinEff)}%.3f}}"""
   }
 }
 
