@@ -1,0 +1,31 @@
+object DedupStress {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("dedup-stress")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    // 50k synthetic docs (text = token words) + 500-clone boilerplate
+    // cluster + 1000 near-dup pairs (doc and its 1-word-dropped twin)
+    val base = graft.sources.Tokens.synthetic(spark, 50000)
+      .select(col("doc_id"), concat_ws(" ",
+        expr("transform(tokens, x -> CAST(x AS STRING))")).as("text"))
+    val boiler = base.filter(col("doc_id") === 123).select(col("text")).collect()(0).getString(0)
+    val clones = spark.range(0, 500).select((col("id") + 900000).as("doc_id"), lit(boiler).as("text"))
+    val twins = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))").as("text"))
+    val docs = base.unionByName(clones).unionByName(twins)
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.verifiedPairs(docs, minJacPct = 80).cache()
+    val nPairs = pairs.count()
+    val t1 = System.nanoTime()
+    val cc = graft.ops.Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+    val nClusters = cc.select("label").distinct().count()
+    val nNodes = cc.count()
+    val t2 = System.nanoTime()
+    println(f"DEDUPSTRESS docs=${docs.count()} pairs=$nPairs pairs_secs=${(t1-t0)/1e9}%.1f cc_nodes=$nNodes cc_clusters=$nClusters cc_secs=${(t2-t1)/1e9}%.1f")
+    spark.stop()
+  }
+}
