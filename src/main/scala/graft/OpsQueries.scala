@@ -213,6 +213,23 @@ object OpsQueries {
            |  FROM documents WHERE doc_id % 3 = 2)
            |SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx FROM m""".stripMargin))
 
+  private val mediaResize = Q(
+    (s, dir) => Multimodal.resizePlan(docs(s, dir), maxDim = 64),
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+           |         ELSE 'video' END AS media_type,
+           |    CAST(16 + length(text) % 97 AS BIGINT) AS width,
+           |    CAST(16 + (length(text) * 7) % 89 AS BIGINT) AS height
+           |  FROM documents)
+           |SELECT doc_id, media_type, width, height,
+           |  CAST(CASE WHEN greatest(width, height) > 64 THEN 1 ELSE 0 END AS BIGINT) AS needs_resize,
+           |  CASE WHEN greatest(width, height) <= 64 THEN width
+           |       ELSE (width * 64) // greatest(width, height) END AS new_width,
+           |  CASE WHEN greatest(width, height) <= 64 THEN height
+           |       ELSE (height * 64) // greatest(width, height) END AS new_height
+           |FROM m""".stripMargin))
+
   private val mediaFeatures = Q(
     (s, dir) => Multimodal.decodeFeatures(s, docs(s, dir)).toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"),
@@ -249,6 +266,7 @@ object OpsQueries {
     "text_fingerprint" -> textFingerprint,
     "media_meta" -> mediaMeta,
     "media_frames" -> mediaFrames,
+    "media_resize" -> mediaResize,
     "media_features" -> mediaFeatures,
     "events_hourly" -> eventsHourly
   )

@@ -61,6 +61,24 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: aspect-preserving target geometry under a max
+    * dimension (the metadata half of an image-resize stage; the pixel
+    * work itself belongs to the batched decoder). Pure integer
+    * arithmetic — floor((dim × maxDim) / longest side) — so the plan is
+    * identical across engines and oracle-checkable.
+    */
+  def resizePlan(docs: DataFrame, maxDim: Int = 64): DataFrame =
+    mediaMeta(docs)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"))
+      .withColumn("needs_resize",
+        (greatest(col("width"), col("height")) > maxDim).cast("long"))
+      .withColumn("new_width", expr(
+        s"CASE WHEN greatest(width, height) <= $maxDim THEN width " +
+          s"ELSE (width * $maxDim) DIV greatest(width, height) END"))
+      .withColumn("new_height", expr(
+        s"CASE WHEN greatest(width, height) <= $maxDim THEN height " +
+          s"ELSE (height * $maxDim) DIV greatest(width, height) END"))
+
   /** Deterministic frame sampling: every `stride`-th frame index of the fake
     * geometry, exploded to one row per sampled frame.
     */
