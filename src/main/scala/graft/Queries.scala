@@ -399,6 +399,37 @@ object Queries {
             |FROM (SELECT source, ${Tokens.nTokSql("doc_id")} AS n_tok FROM documents)
             |GROUP BY source""".stripMargin))
 
+  /** S-row multi-format source: documents exported to JSON lines, read
+    * back through the schema-enforced json source, projected — the oracle
+    * reads the original parquet, so any type/value drift through the
+    * format boundary diverges (the reference's one-logical-table-many-
+    * physical-formats posture).
+    */
+  private val sourceJson = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-srcjson").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").json(tmp)
+      graft.sources.Documents.read(s, tmp, "json")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars,
+           |  CAST(length(text) AS BIGINT) AS text_len FROM documents""".stripMargin))
+
+  /** A2/G1 at scale: per-source distinct-word vocabulary — explode +
+    * two-phase distinct aggregation (the shape of corpus-statistics jobs).
+    */
+  private val textVocab = Q(
+    (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source")
+      .agg(countDistinct("word").as("n_vocab"), count(lit(1)).as("n_words")),
+    Some("""SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_vocab,
+           |  CAST(count(*) AS BIGINT) AS n_words
+           |FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY source""".stripMargin))
+
   // ---------------------------------------------------------------- registry
 
   val all: Map[String, Q] = Map(
@@ -427,6 +458,8 @@ object Queries {
     "decode_event" -> decodeEvent,
     "trace_frames" -> traceFrames,
     "media_kv" -> mediaKv,
+    "source_json" -> sourceJson,
+    "text_vocab" -> textVocab,
     "metrics_rates" -> metricsRates,
     "metrics_summary" -> metricsSummary
   )
