@@ -182,6 +182,34 @@ object OpsQueries {
            |          / n_words >= 30 THEN 'en_like' ELSE 'other' END AS pred
            |FROM t""".stripMargin))
 
+  private val textFilter = Q(
+    (s, dir) => TextOps.qualityFilter(docs(s, dir)),
+    Some("""WITH t AS (
+           |  SELECT doc_id, ' ' || text || ' ' AS padded, text,
+           |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, n_words,
+           |    CAST(floor(10.0 * (length(text) - n_words + 1) / n_words) AS BIGINT) AS avg_wl_x10,
+           |    CAST(floor(((length(padded) - length(replace(padded, ' the ', ''))) / 5
+           |        + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+           |        + (length(padded) - length(replace(padded, ' data ', ''))) / 6) * 1000
+           |        / n_words) AS BIGINT) AS stop_pm
+           |  FROM t
+           |)
+           |SELECT doc_id, n_words, avg_wl_x10, stop_pm,
+           |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS kept, reason
+           |FROM (
+           |  SELECT *,
+           |    CASE
+           |     WHEN n_words < 5 THEN 'too_short'
+           |     WHEN n_words > 100000 THEN 'too_long'
+           |     WHEN avg_wl_x10 < 20 THEN 'words_too_short'
+           |     WHEN avg_wl_x10 > 120 THEN 'words_too_long'
+           |     WHEN stop_pm < 5 THEN 'no_function_words'
+           |     ELSE 'kept' END AS reason
+           |  FROM m)""".stripMargin))
+
   private val textTokens = Q(
     (s, dir) => TextOps.tokenCounts(docs(s, dir)),
     Some("""SELECT doc_id,
@@ -263,6 +291,7 @@ object OpsQueries {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_tokens" -> textTokens,
+    "text_filter" -> textFilter,
     "text_fingerprint" -> textFingerprint,
     "media_meta" -> mediaMeta,
     "media_frames" -> mediaFrames,

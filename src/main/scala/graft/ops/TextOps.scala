@@ -65,6 +65,40 @@ object TextOps {
       expr("char_fingerprint(text)").as("fingerprint"))
   }
 
+  /** Training-data quality FILTER — the consumer of the quality metrics:
+    * length bounds, average-word-length band, stopword floor. Emits every
+    * doc with `kept` and a deterministic `reason` (first failing rule, in
+    * fixed order), so filter tuning can audit what each rule costs —
+    * filtering silently is how corpora rot. All CASE logic → portable to
+    * the oracle.
+    */
+  def qualityFilter(docs: DataFrame, minWords: Long = 5, maxWords: Long = 100000,
+      minAvgWordLenX10: Long = 20, maxAvgWordLenX10: Long = 120,
+      minStopPerMille: Long = 5): DataFrame = {
+    def occurrences(word: String) =
+      ((length(col("padded")) - length(regexp_replace(col("padded"), s" $word ", "")))
+        / (word.length + 2))
+    docs
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .withColumn("n_words",
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long"))
+      .withColumn("avg_wl_x10", expr(
+        "CAST(floor(10.0 * (length(text) - n_words + 1) / n_words) AS BIGINT)"))
+      .withColumn("stop_pm",
+        ((occurrences("the") + occurrences("a") + occurrences("data")) * 1000 / col("n_words"))
+          .cast("long"))
+      .withColumn("reason", expr(
+        s"""CASE
+           | WHEN n_words < $minWords THEN 'too_short'
+           | WHEN n_words > $maxWords THEN 'too_long'
+           | WHEN avg_wl_x10 < $minAvgWordLenX10 THEN 'words_too_short'
+           | WHEN avg_wl_x10 > $maxAvgWordLenX10 THEN 'words_too_long'
+           | WHEN stop_pm < $minStopPerMille THEN 'no_function_words'
+           | ELSE 'kept' END""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("avg_wl_x10"), col("stop_pm"),
+        (col("reason") === "kept").cast("long").as("kept"), col("reason"))
+  }
+
   /** SQL-lambda mirror of the fingerprint kernel (equivalence-test form). */
   val fingerprintSql: String =
     """aggregate(
