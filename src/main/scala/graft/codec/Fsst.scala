@@ -105,7 +105,8 @@ object FsstCodec extends Codec {
     var table: Array[Long] = Array.empty
     val offs = new Array[Int](limit + 1)
     var iter = 0
-    while (iter < TrainIters) {
+    var converged = false
+    while (iter < TrainIters && !converged) {
       // segment sample with current table
       var nUnits = 0
       var i = 0
@@ -151,14 +152,18 @@ object FsstCodec extends Codec {
         else mKeys(a) < mKeys(b)
       }
       val n = math.min(m, MaxSymbols)
-      table = new Array[Long](n)
-      codeOf = new LongIntMap(n * 2)
+      val next = new Array[Long](n)
       var k = 0
-      while (k < n) {
-        table(k) = mKeys(sorted(k))
-        codeOf.put(table(k), k)
-        k += 1
-      }
+      while (k < n) { next(k) = mKeys(sorted(k)); k += 1 }
+      // fixed point: an identical table reproduces the identical
+      // segmentation, gains and selection, so further iterations are
+      // no-ops — stopping early is result-identical (this is the hot cost
+      // of the selector's FSST probe, paid per row)
+      converged = java.util.Arrays.equals(next, table)
+      table = next
+      codeOf = new LongIntMap(math.max(1, n) * 2)
+      k = 0
+      while (k < n) { codeOf.put(table(k), k); k += 1 }
       iter += 1
     }
     table
@@ -259,9 +264,38 @@ object FsstCodec extends Codec {
   /** Estimated encoded bytes for the selector: train on the deterministic
     * prefix sample, code just the sample, extrapolate by stream length.
     */
+  /** Decimal rendering length of one token (digits + sign). */
+  @inline private def decLen(v: Int): Int =
+    if (v == Int.MinValue) 11
+    else {
+      var n = if (v < 0) 2 else 1
+      var x = math.abs(v) / 10
+      while (x > 0) { n += 1; x /= 10 }
+      n
+    }
+
+  /** Decimal stream length without materializing it (digits + separator
+    * per token).
+    */
+  private def streamLength(xs: Array[Int]): Long = {
+    var total = 0L
+    var i = 0
+    while (i < xs.length) { total += decLen(xs(i)) + 1; i += 1 }
+    total
+  }
+
   def probeSize(xs: Array[Int]): Long = {
     if (xs.isEmpty) return 4L
-    val stream = toStream(xs)
+    // materialize only the training prefix: rendering a giant array's full
+    // ~6 B/token stream just to read its length wasted most of the probe
+    val totalLen = streamLength(xs)
+    var nPrefix = 0
+    var prefixLen = 0L
+    while (nPrefix < xs.length && prefixLen < SampleBytes) {
+      prefixLen += decLen(xs(nPrefix)) + 1
+      nPrefix += 1
+    }
+    val stream = toStream(java.util.Arrays.copyOf(xs, nPrefix))
     val table = trainPacked(stream)
     val codeOf = buildCodeOf(table)
     val limit = math.min(stream.length, SampleBytes)
@@ -278,6 +312,6 @@ object FsstCodec extends Codec {
       c += 1
     }
     val ratio = encLen.toDouble / limit
-    (ratio * stream.length + tableCost + Bytes.varLen(xs.length.toLong) + 4).toLong
+    (ratio * totalLen + tableCost + Bytes.varLen(xs.length.toLong) + 4).toLong
   }
 }
