@@ -150,13 +150,27 @@ object OpsQueries {
     },
     None) // approximate: recall vs brute force asserted in OpsSpec
 
+  /** IVF with an EXHAUSTIVE probe sweep (nProbes = nCentroids): every
+    * inverted list is probed, so the result provably equals brute-force
+    * top-k — which a SQL oracle can replay — while still exercising the
+    * full IVF machinery (k-means training, list assignment, probe
+    * routing, candidate union, exact rerank). The approximate
+    * (nProbes < nCentroids) recall path stays spec-asserted in OpsSpec.
+    */
   private val annIvf = Q(
     (s, dir) => {
       val e = embeds(s, dir)
       Ann.ivfTopK(e, e.filter(col("vec_id") < 20), k = 3,
-        nCentroids = 16, nProbes = 4)
+        nCentroids = 16, nProbes = 16)
     },
-    None) // approximate: recall vs brute force asserted in OpsSpec
+    Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+           |SELECT probe_id, rank, nbr_id FROM (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+           |    CAST(row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS BIGINT) AS rank
+           |  FROM p JOIN c ON p.vec_id != c.vec_id)
+           |WHERE rank <= 3""".stripMargin))
 
   private val textQuality = Q(
     (s, dir) => TextOps.quality(docs(s, dir)),
@@ -258,11 +272,34 @@ object OpsQueries {
            |       ELSE (height * 64) // greatest(width, height) END AS new_height
            |FROM m""".stripMargin))
 
+  /** The batched decode path end-to-end, oracle-checked: the stub decoder's
+    * checksum is FNV-1a over the payload bytes — a pure fold the oracle
+    * replays with list_reduce over the same bytes (documents are ASCII, so
+    * per-char code points ARE the UTF-8 bytes; 64-bit wrap via HUGEINT
+    * mod 2^64, xor confined to the low byte). This pins the whole Spark
+    * plumbing — binary column, repartition, bounded batch iteration, typed
+    * Dataset output — to a cross-engine value identity; the feature-vector
+    * half (derived from the same checksum) stays spec-asserted.
+    */
   private val mediaFeatures = Q(
     (s, dir) => Multimodal.decodeFeatures(s, docs(s, dir)).toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes").cast("long").as("n_bytes"),
         col("checksum")),
-    None) // fake-decoder internals; batch shape + determinism in OpsSpec
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+           |       ELSE 'video' END AS media_type,
+           |  CAST(length(text) AS BIGINT) AS n_bytes,
+           |  CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+           |       ELSE v END AS BIGINT) AS checksum
+           |FROM (
+           |  SELECT doc_id, text, list_reduce(
+           |    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+           |      list_transform(range(1, length(text) + 1),
+           |        i -> CAST(ascii(text[i]) AS HUGEINT))),
+           |    (acc, x) -> ((acc // 256) * 256
+           |      + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+           |      * 1099511628211 % 18446744073709551616) AS v
+           |  FROM documents)""".stripMargin))
 
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")

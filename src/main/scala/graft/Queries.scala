@@ -354,31 +354,51 @@ object Queries {
            |  UNION ALL
            |  SELECT doc_id, 'f', 1 + length(text) % 5 FROM documents)""".stripMargin))
 
-  /** A3/K10: per-run throughput metrics from the lineage table (cryo's
-    * FreezeSummary rates, types/summaries.rs:468-534) — runs the pipeline
-    * on the sf tokens into a scratch sink, then rates per source.
+  /** A3/K10: per-run partition-lineage accounting from the manifest
+    * (cryo's FreezeSummary, types/summaries.rs:468-534) — runs the
+    * pipeline into a scratch sink with saltBuckets=1 (salting is a
+    * hash-based physical optimization; with one bucket the (source, bin)
+    * plan geometry is pure positional arithmetic a SQL oracle can replay),
+    * then checks the MANIFEST's per-source partition/doc/token/byte
+    * accounting value-exactly. This was rows-only in r2 (`metrics_rates`);
+    * the wall-clock RATES half is inherently nondeterministic and lives in
+    * RunSummary + the bench JSON, with wall_ms realism spec-asserted in
+    * PipelineSpec.
     */
-  private val metricsRates = Q(
+  private val metricsLineage = Q(
     (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-rates").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-lineage").toString
       graft.pipeline.EncodePipeline.run(s, Tokens.fromDocuments(s, dir),
-        graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 1L << 16))
+        graft.pipeline.EncodePipeline.Config(outDir = out,
+          targetBinTokens = 1L << 16, saltBuckets = 1))
       graft.sinks.ManifestSink.committedManifest(s, out)
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_parts"),
           sum("n_docs").as("n_docs"),
           sum("n_tokens").as("n_tokens"),
-          sum("raw_bytes").as("raw_bytes"),
-          sum("encoded_bytes").as("encoded_bytes"),
-          (sum("n_tokens") * 1000.0 / greatest(max("wall_ms"), lit(1L))).as("tokens_per_sec"))
+          sum("raw_bytes").as("raw_bytes"))
     },
-    None)
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, source, CAST(${Tokens.nTokSql("doc_id")} AS BIGINT) AS n_tok
+            |  FROM documents
+            |), b AS (
+            |  SELECT source, n_tok,
+            |    CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+            |      / 65536) AS BIGINT) AS bin
+            |  FROM t
+            |)
+            |SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS n_parts,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+            |  CAST(sum(n_tok) * 4 AS BIGINT) AS raw_bytes
+            |FROM b GROUP BY source""".stripMargin))
 
   /** K9/K10 deterministic half of the lineage metrics: per-source doc /
     * token / raw-byte totals re-derivable by the oracle straight from the
     * generator (rates and encoded sizes stay engine-internal in
-    * metrics_rates). Runs the pipeline into a scratch sink first, so this
+    * metrics_lineage). Runs the pipeline into a scratch sink first, so this
     * checks the MANIFEST's accounting, not just the input.
     */
   private val metricsSummary = Q(
@@ -460,7 +480,7 @@ object Queries {
     "media_kv" -> mediaKv,
     "source_json" -> sourceJson,
     "text_vocab" -> textVocab,
-    "metrics_rates" -> metricsRates,
+    "metrics_lineage" -> metricsLineage,
     "metrics_summary" -> metricsSummary
   )
 

@@ -471,11 +471,16 @@ object MinhashSignature {
       val end = math.min(n, i + 3)
       var w = i
       while (w < end) {
-        val bytes = words.getUTF8String(w).getBytes
-        var b = 0
-        while (b < bytes.length) {
-          h = (h ^ (bytes(b) & 0xffL)) * 1099511628211L
-          b += 1
+        // null elements hash like empty strings (separator only) — same
+        // guard Simhash64.compute has; split() never produces nulls, but
+        // this is a public SQL function and must not NPE on them
+        if (!words.isNullAt(w)) {
+          val bytes = words.getUTF8String(w).getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h = (h ^ (bytes(b) & 0xffL)) * 1099511628211L
+            b += 1
+          }
         }
         h = (h ^ 0x20L) * 1099511628211L // word separator
         w += 1
@@ -492,5 +497,53 @@ object MinhashSignature {
       i += 1
     }
     sig
+  }
+}
+
+/** sig_agree(a array<long>, b array<long>) -> int: number of positions
+  * where two MinHash signatures agree (the Jaccard estimator's numerator).
+  * Native because the zip_with+aggregate formulation is CodegenFallback
+  * AND recomputed per plan reference — the exact trap the prefilter exists
+  * to avoid paying (its whole point is being ~ns-cheap per candidate pair).
+  */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<long> signatures")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(SigAgree.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SigAgree.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object SigAgree {
+  /** Java-callable kernel (used from generated code). Null lane values
+    * (possible only through hand-built SQL arrays) never match.
+    */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        agree += 1
+      i += 1
+    }
+    agree
   }
 }

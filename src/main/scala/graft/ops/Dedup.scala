@@ -55,6 +55,19 @@ object Dedup {
     * outright — the simhash-style cap — would lose real dup clusters here,
     * because a full-band-hash collision IS near-duplication, unlike a
     * 16-bit simhash chunk collision.)
+    *
+    * maxBucket vs expected cluster size (round-2 ADVICE, documented
+    * invariant): for a near-dup CLUSTER larger than maxBucket, star edges
+    * guarantee every member connects to the bucket anchor — so
+    * [[connectedComponents]] (the downstream consumer) still recovers the
+    * full cluster — but the PAIR LIST itself omits non-anchor×non-anchor
+    * pairs inside that cluster. [[verifiedPairs]]'s oracle (exact
+    * all-pairs ≥ threshold) therefore assumes the gate data's near-dup
+    * clusters are ≤ maxBucket docs (today: clusters of 2-4 vs cap 64; the
+    * adversarial >cap stress lives in OpsSpec, not the oracle gate).
+    * Raise maxBucket — or close pairs transitively from the components —
+    * if a corpus with duplicate clusters past the cap must report
+    * complete pair lists.
     */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 8,
       maxBucket: Int = 64): DataFrame =
@@ -103,9 +116,10 @@ object Dedup {
     minhashCandidatesFromSig(sig, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
-      .withColumn("est_jaccard", expr(
-        "aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)")
-        .cast("double") / lit(k))
+      // native kernel: the HOF formulation (zip_with+aggregate) is
+      // CodegenFallback and recomputed per plan reference (CLAUDE.md)
+      .withColumn("est_jaccard",
+        call_function("sig_agree", col("mh_a"), col("mh_b")).cast("double") / lit(k))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
   }
@@ -159,9 +173,8 @@ object Dedup {
     val prefiltered = minhashCandidatesFromSig(sig, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
-      .filter(
-        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, b) -> a + b)")
-          .cast("double") >= lit(k * minJacPct / 200.0))
+      .filter(call_function("sig_agree", col("mh_a"), col("mh_b"))
+        .cast("double") >= lit(k * minJacPct / 200.0))
       .select("doc_a", "doc_b")
     jaccardVerify(docs, prefiltered).filter(col("jac_pct") >= minJacPct)
   }
@@ -272,6 +285,15 @@ object Dedup {
       labels = stepped.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
+    if (changed > 0)
+      // an unconverged exit would otherwise return silently-wrong cluster
+      // ids (round-2 ADVICE: a chain-shaped dup graph deeper than maxIter
+      // hops). Near-dup graphs are shallow, so this is always a caller
+      // error worth failing loudly on — raise maxIter for deep graphs.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter for graphs with " +
+          "paths deeper than maxIter hops")
     labels
   }
 

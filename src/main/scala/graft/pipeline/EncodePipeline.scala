@@ -42,6 +42,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object EncodePipeline {
 
+  /** Engine version recorded in every commit report (reports.rs:9-23
+    * embeds cryo_version the same way — reproducibility metadata).
+    */
+  val Version: String = "0.3.0"
+
   final case class Config(
       outDir: String,
       targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
@@ -56,8 +61,19 @@ object EncodePipeline {
                                      // (0.71 B/tok vs 1.42 for zstd on raw)
       broadcastKeyLimit: Long = 1L << 20, // key-table rows above this use a
                                           // shuffle join, not a broadcast
-      strictResume: Boolean = true) {     // fail-fast if a skipped part_key's
+      strictResume: Boolean = true,       // fail-fast if a skipped part_key's
                                           // doc count drifted from the manifest
+      reorgBuffer: Long = 0) {            // F6 batch reorg guard: docs within
+                                          // this many doc_ids of the input
+                                          // head are DEFERRED (excluded +
+                                          // counted), mirroring the
+                                          // reference's drop-blocks-near-tip
+                                          // (cli blocks.rs:366-390). For a
+                                          // continuously-growing input use
+                                          // partPrefix/streaming; this guard
+                                          // is for one-shot batch runs over a
+                                          // snapshot whose tail may still
+                                          // reorganize.
 
     /** F7 required-param validation (args-validation analog; the reference
       * rejects malformed CLI/file params before any work starts).
@@ -73,7 +89,20 @@ object EncodePipeline {
       val codecs = Set("zstd", "lz4", "snappy", "gzip", "lzo", "brotli", "none", "uncompressed")
       require(codecs.contains(parquetCodec),
         s"unknown parquet codec '$parquetCodec' (one of ${codecs.mkString(",")})")
+      require(reorgBuffer >= 0, s"reorgBuffer must be >= 0: $reorgBuffer")
       this
+    }
+
+    /** Config echo embedded in commit reports (reports.rs cli_command/args
+      * analog): enough to replay the run byte-identically.
+      */
+    private[pipeline] def reportJson(resolvedSalts: Int): String = {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"out_dir":"${esc(outDir)}","target_bin_tokens":$targetBinTokens,""" +
+        s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
+        s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
+        s""""broadcast_key_limit":$broadcastKeyLimit,"strict_resume":$strictResume,""" +
+        s""""reorg_buffer":$reorgBuffer}"""
     }
   }
 
@@ -87,7 +116,8 @@ object EncodePipeline {
       rawBytes: Long,
       encodedBytes: Long,
       wallMs: Long,
-      priorFailedAttempts: Long = 0)
+      priorFailedAttempts: Long = 0,
+      deferred: Long = 0) // docs excluded by the reorg buffer this run
 
   /** Salt-bucket auto-sizing: cap the largest (source, salt) window group
     * at ~2M metadata rows even if one source carries the whole corpus.
@@ -175,13 +205,31 @@ object EncodePipeline {
     }
   }
 
-  private def runGuarded(spark: SparkSession, tokens: DataFrame, cfg: Config,
+  private def runGuarded(spark: SparkSession, tokens0: DataFrame, cfg: Config,
       runId: String, t0: Long): RunSummary = {
+    // F6 batch reorg guard: docs within `reorgBuffer` of the input head
+    // (max doc_id) are excluded from this run's plan and counted as
+    // deferred — the batch analog of the reference's
+    // drop-blocks-near-chain-tip (cli blocks.rs:366-390). They are NOT
+    // failures: a later run over a settled snapshot picks them up.
+    val (tokens, nDeferred) =
+      if (cfg.reorgBuffer <= 0) (tokens0, 0L)
+      else {
+        val headRow = tokens0.agg(max(col("doc_id"))).collect()(0)
+        if (headRow.isNullAt(0)) (tokens0, 0L)
+        else {
+          val cutoff = headRow.getLong(0) - cfg.reorgBuffer
+          (tokens0.filter(col("doc_id") <= cutoff),
+            tokens0.filter(col("doc_id") > cutoff).count())
+        }
+      }
+
     // part_keys are positional (source, salt, bin) coordinates: every run
     // against this sink must use the same geometry or identical docs land
     // under fresh keys and resume sees nothing to skip (silent dupes).
-    // First run pins it; later runs validate — and auto-salt mode reuses
-    // the pin, so input growth can't shift the salt count mid-sink.
+    // The first SUCCESSFUL run pins it (at commit time — see below);
+    // later runs validate — and auto-salt mode reuses the pin, so input
+    // growth can't shift the salt count mid-sink.
     val salts = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
       case Some((pinSalts, pinBin)) =>
         if (pinBin != cfg.targetBinTokens)
@@ -197,7 +245,6 @@ object EncodePipeline {
         pinSalts
       case None => resolveSalts(tokens, cfg)
     }
-    ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
 
     val committedMan = ManifestSink.committedManifest(spark, cfg.outDir)
     val committedKeysDf = committedMan.select("part_key").distinct()
@@ -322,10 +369,24 @@ object EncodePipeline {
       val priorErrors = ManifestSink.readErrorReports(cfg.outDir).size.toLong
       val summary = RunSummary(runId, nPlanned, nSkipped, nParts,
         totals.getLong(1), totals.getLong(2), totals.getLong(3),
-        totals.getLong(4), wallMs, priorErrors)
+        totals.getLong(4), wallMs, priorErrors, nDeferred)
+
+      // Pin the plan geometry at COMMIT time, not run start: a first run
+      // that fails before committing anything must not permanently pin
+      // salt/bin config on an empty sink (round-2 ADVICE). Re-validate
+      // after pinning — if a concurrent first run with different geometry
+      // won the pin race, this run's data stays invisible (no marker).
+      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
+      ManifestSink.pinnedPlanConfig(cfg.outDir) match {
+        case Some((ps, pb)) if ps == salts && pb == cfg.targetBinTokens => ()
+        case other => throw new IllegalStateException(
+          s"plan-geometry pin race lost: sink pinned $other but this run " +
+            s"used (saltBuckets=$salts, targetBinTokens=${cfg.targetBinTokens}); " +
+            "not committing (data stays invisible). Re-run to resume.")
+      }
 
       // atomic publish — everything above is invisible until this succeeds
-      ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary))
+      ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
       summary
     } finally {
       encoded.unpersist()
@@ -364,9 +425,15 @@ object EncodePipeline {
       .count()
   }
 
-  private def summaryJson(s: RunSummary): String =
+  /** Commit-report JSON: run accounting + engine version + the validated
+    * config that produced it (reports.rs:9-23's cryo_version/cli_command/
+    * args parity) — a reader of `commits/<id>.json` can replay the run.
+    */
+  private def summaryJson(s: RunSummary, cfg: Config, resolvedSalts: Int): String =
     s"""{"run_id":"${s.runId}","planned":${s.planned},"skipped":${s.skipped},
        |"committed":${s.committed},"n_docs":${s.nDocs},"n_tokens":${s.nTokens},
        |"raw_bytes":${s.rawBytes},"encoded_bytes":${s.encodedBytes},
-       |"wall_ms":${s.wallMs},"prior_failed_attempts":${s.priorFailedAttempts}}""".stripMargin.replace("\n", "")
+       |"wall_ms":${s.wallMs},"prior_failed_attempts":${s.priorFailedAttempts},
+       |"deferred":${s.deferred},"engine_version":"$Version",
+       |"config":${cfg.reportJson(resolvedSalts)}}""".stripMargin.replace("\n", "")
 }

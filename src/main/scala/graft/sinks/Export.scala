@@ -16,6 +16,66 @@ object Export {
 
   val Formats: Seq[String] = Seq("parquet", "csv", "json")
 
+  /** K5 output-subdirectory routing (files.rs:27-36's `SubDir::{Datatype,
+    * Network, Custom}`, CLI parse file_output.rs:48-60): an ORDERED list of
+    * path segments composed under the output root, each either the dataset
+    * name (Datatype analog), the namespace/prefix (Network analog — cryo
+    * uses the network name there), or a custom literal.
+    */
+  sealed trait SubDir
+  object SubDir {
+    /** Route by dataset name (reference `SubDir::Datatype`). */
+    case object Dataset extends SubDir
+    /** Route by namespace — the reference's network prefix (`SubDir::Network`). */
+    case object Namespace extends SubDir
+    /** Fixed custom segment (reference `SubDir::Custom(String)`). */
+    final case class Custom(dir: String) extends SubDir {
+      require(dir.nonEmpty && !dir.startsWith("/") && !dir.contains(".."),
+        s"custom subdir must be a relative path segment: '$dir'")
+    }
+  }
+
+  /** Resolve the output directory for a (dataset, namespace) under the
+    * routing config — files.rs:77-84's fold of subdirs onto output_dir.
+    */
+  def resolveDir(root: String, subdirs: Seq[SubDir], dataset: String,
+      namespace: String): String =
+    subdirs.foldLeft(root) { (p, s) =>
+      p + "/" + (s match {
+        case SubDir.Dataset => dataset
+        case SubDir.Namespace => namespace
+        case SubDir.Custom(d) => d
+      })
+    }
+
+  /** Routed export: resolve the subdir layout, apply the binary
+    * presentation encoding, write. Returns the resolved directory so
+    * callers (and tests) see exactly where the table landed.
+    */
+  def writeRouted(df: DataFrame, root: String, format: String,
+      dataset: String, namespace: String,
+      subdirs: Seq[SubDir] = Seq(SubDir.Dataset),
+      compression: String = "snappy",
+      binaryEncoding: String = "binary"): String = {
+    val dir = resolveDir(root, subdirs, dataset, namespace)
+    write(withBinaryEncoding(df, binaryEncoding), dir, format, compression)
+    dir
+  }
+
+  /** Per-run binary presentation flag (files.rs:116-132 ColumnEncoding +
+    * schemas.rs:190-193): "hex" flips every Binary column to cryo's
+    * display form — '0x' + lowercase hex (types/conversions.rs:55-77) —
+    * for this write only; "binary" leaves them raw.
+    */
+  def withBinaryEncoding(df: DataFrame, encoding: String): DataFrame =
+    encoding match {
+      case "binary" => df
+      case "hex" => binaryCols(df).foldLeft(df)((d, c) =>
+        d.withColumn(c, concat(lit("0x"), lower(hex(col(c))))))
+      case other => throw new IllegalArgumentException(
+        s"unknown binary encoding '$other' (binary|hex)")
+    }
+
   private def binaryCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case StructField(n, BinaryType, _, _) => n }.toSeq
 

@@ -53,8 +53,25 @@ object ManifestSink {
     out.toSeq.sorted
   }
 
-  /** Committed manifest rows (lineage + metrics table; reference K9/K10). */
-  def committedManifest(spark: SparkSession, root: String): DataFrame = {
+  /** Above this many committed runs the manifest filter switches from a
+    * static `isin` literal (O(runs) expression tree) to a semi-join
+    * against a runs DataFrame.
+    */
+  val IsinRunLimit: Int = 64
+
+  /** Committed manifest rows (lineage + metrics table; reference K9/K10).
+    *
+    * Size-guarded run filter: a short run list — the common case — prunes
+    * run_id partition dirs with a static `isin` literal; past
+    * [[IsinRunLimit]] runs that literal In-tree grows O(runs) (a
+    * plan-size/analysis killer at thousands of runs), so the filter
+    * becomes a semi-join against a runs DataFrame instead. The runs side
+    * is one short string per run — broadcastable at any realistic run
+    * count — and run_id stays a partition column, so the join still
+    * prunes dirs dynamically.
+    */
+  def committedManifest(spark: SparkSession, root: String,
+      isinRunLimit: Int = IsinRunLimit): DataFrame = {
     val runs = committedRunIds(root)
     if (runs.isEmpty) {
       import org.apache.spark.sql.types._
@@ -66,18 +83,32 @@ object ManifestSink {
         StructField("encoded_bytes", LongType), StructField("codec", StringType),
         StructField("wall_ms", LongType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
+    } else if (runs.size <= isinRunLimit) {
       // run_id is a partition dir of the manifest dataset -> pruned scan
       spark.read.parquet(manifestDir(root))
         .filter(col("run_id").isin(runs: _*))
+    } else {
+      import spark.implicits._
+      val runsDf = runs.toDF("run_id")
+      spark.read.parquet(manifestDir(root))
+        .join(broadcast(runsDf), Seq("run_id"), "left_semi")
     }
   }
 
   /** Committed encoded rows (snapshot read): data semi-joined against the
     * committed (part_key, run_id) pairs, so orphans from crashed runs are
     * invisible and re-encoded partitions appear exactly once.
+    *
+    * Size-guarded like the resume anti-join (both directions of
+    * freeze.rs:96-109's skip-existing semantics): the committed pair set
+    * grows without bound over a sink's lifetime, so past
+    * `broadcastKeyLimit` pairs the semi-join degrades from a broadcast to
+    * a SHUFFLE_HASH join — hash side is still the slim key table, and the
+    * heavy blob side is never sorted (an SMJ here would sort the arrays:
+    * the documented 4× pipeline regression).
     */
-  def readCommitted(spark: SparkSession, root: String): DataFrame = {
+  def readCommitted(spark: SparkSession, root: String,
+      broadcastKeyLimit: Long = 1L << 20): DataFrame = {
     val committed = committedManifest(spark, root).select("part_key", "run_id")
     if (!Files.isDirectory(Paths.get(dataDir(root)))) {
       // nothing ever (successfully) written — e.g. every attempt so far
@@ -91,8 +122,11 @@ object ManifestSink {
         StructField("blob", BinaryType), StructField("part_stub", StringType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
+      val side =
+        if (committed.count() <= broadcastKeyLimit) broadcast(committed)
+        else committed.hint("SHUFFLE_HASH")
       spark.read.parquet(dataDir(root))
-        .join(broadcast(committed), Seq("part_key", "run_id"), "left_semi")
+        .join(side, Seq("part_key", "run_id"), "left_semi")
     }
   }
 
@@ -162,8 +196,11 @@ object ManifestSink {
   def recordError(root: String, runId: String, message: String): Unit = {
     val dir = errorsDir(root)
     Files.createDirectories(dir)
-    val safe = message.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").take(500)
+    // truncate the RAW message first, then escape: truncating after
+    // escaping could cut mid escape pair (trailing lone backslash from an
+    // escaped quote) and produce an invalid JSON report
+    val safe = message.take(500).replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ")
     val tmp = dir.resolve(s"_tmp_$runId.json")
     Files.write(tmp,
       s"""{"run_id":"$runId","error":"$safe"}""".getBytes(StandardCharsets.UTF_8))

@@ -102,6 +102,17 @@ object StreamingEncode {
     * numbers keep growing instead of restarting at 0 each batch — the
     * batch window can't express that, `GroupState` can. Docs are ordered
     * by doc_id within each (group, batch) for determinism.
+    *
+    * MEMORY BOUND (round-2 ADVICE, now explicit): the determinism sort
+    * materializes one (source × micro-batch) group in the executor heap —
+    * (doc_id, source, n_tok) triples, NOT token arrays, ~50 bytes/doc. The
+    * bound is docs-per-batch-per-source, which `maxFilesPerTrigger`
+    * controls: at the pipeline's own layout (≤ targetBinTokens tokens per
+    * file) a trigger of F files is ≤ F × (targetBinTokens / min n_tok)
+    * docs ≈ a few hundred thousand rows ≈ tens of MB worst-case. Callers
+    * ingesting foreign layouts (huge files) must set maxFilesPerTrigger
+    * low enough that one batch's slim metadata fits an executor — or
+    * accept per-batch bin order drift and drop the sort.
     */
   def binStream(spark: SparkSession, inputDir: String,
       targetBinTokens: Long,

@@ -17,8 +17,12 @@ object Parse {
       case _   => (t, 1.0)
     }
     if (mult == 1.0) {
-      // no suffix: plain integer only (a bare "1.5" is ambiguous — reject)
-      numPart.toLong
+      // no suffix: plain integer only (a bare "1.5" is ambiguous — reject);
+      // same non-negativity rule as the suffixed path, so a negative env
+      // value fails fast instead of flowing into a job as a doc count
+      val v = numPart.toLong
+      require(v >= 0, s"count literal '$s' is not a non-negative integer")
+      v
     } else {
       val v = numPart.toDouble * mult
       require(v >= 0 && v <= Long.MaxValue.toDouble && v == math.floor(v),

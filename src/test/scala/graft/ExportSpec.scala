@@ -47,4 +47,49 @@ class ExportSpec extends AnyFunSuite {
       assert(bad.count() == 0, s"$format decode mismatch")
     }
   }
+
+  test("K5 subdir routing (Dataset/Namespace/Custom) + per-run hex presentation") {
+    import Export.SubDir
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft-route-src").toString
+    val tokens = Tokens.synthetic(spark, 120)
+    EncodePipeline.run(spark, tokens,
+      EncodePipeline.Config(outDir = sink, targetBinTokens = 8192))
+    val encoded = ManifestSink.readCommitted(spark, sink)
+      .select("doc_id", "source", "n_tok", "codec", "blob")
+    val root = java.nio.file.Files.createTempDirectory("graft-route").toString
+
+    // SubDir::Datatype analog (default): route by dataset name
+    val d1 = Export.writeRouted(encoded, root, "parquet", "encoded_tokens", "corpusA")
+    assert(d1 == s"$root/encoded_tokens" && new java.io.File(d1).isDirectory, d1)
+    // SubDir::Network analog before it — the fold preserves order (files.rs:77-84)
+    val d2 = Export.writeRouted(encoded, root, "parquet", "encoded_tokens", "corpusA",
+      subdirs = Seq(SubDir.Namespace, SubDir.Dataset))
+    assert(d2 == s"$root/corpusA/encoded_tokens" && new java.io.File(d2).isDirectory, d2)
+    // SubDir::Custom literal
+    val d3 = Export.writeRouted(encoded, root, "parquet", "encoded_tokens", "corpusA",
+      subdirs = Seq(SubDir.Custom("archive")))
+    assert(d3 == s"$root/archive" && new java.io.File(d3).isDirectory, d3)
+    intercept[IllegalArgumentException](SubDir.Custom("/absolute"))
+    // routed tables read back identical
+    assert(spark.read.parquet(d2).exceptAll(encoded).count() == 0)
+
+    // hex presentation flag: Binary columns flip to cryo's 0x-lowercase
+    // display form for this write only (files.rs:116-132 ColumnEncoding)
+    val hexDir = Export.writeRouted(encoded, root, "parquet", "hexed", "corpusA",
+      binaryEncoding = "hex")
+    val back = spark.read.parquet(hexDir)
+    assert(back.schema("blob").dataType == org.apache.spark.sql.types.StringType)
+    val sample = back.select("blob").head.getString(0)
+    assert(sample.startsWith("0x") &&
+      sample.drop(2).forall("0123456789abcdef".contains(_)), sample)
+    // and the hex payload still carries the exact original bytes
+    val mismatch = back
+      .select($"doc_id", expr("unhex(substring(blob, 3))").as("blob2"))
+      .join(encoded.select($"doc_id", $"blob"), "doc_id")
+      .filter(not($"blob" <=> $"blob2"))
+      .count()
+    assert(mismatch == 0)
+    intercept[IllegalArgumentException](Export.withBinaryEncoding(encoded, "rot13"))
+  }
 }

@@ -108,4 +108,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getInt(0) == 5 && r.getLong(1) == 1L && r.getLong(2) == 5L)
     assert(r.getInt(3) == 3 && r.getInt(4) == 3 && !r.getBoolean(5))
   }
+
+  test("sig_agree kernel ≡ interpreted zip_with mirror; null lanes never match") {
+    GraftFunctions.register(spark)
+    // signatures that agree on ~2/3 of lanes, varied per row
+    val cmp = spark.range(0, 64).selectExpr(
+      "transform(sequence(0, 31), i -> CAST(hash(id, i) AS BIGINT)) AS a",
+      "transform(sequence(0, 31), i -> CAST(hash(id + CASE WHEN i % 3 = 0 THEN 1000 ELSE 0 END, i) AS BIGINT)) AS b")
+      .selectExpr(
+        "sig_agree(a, b) AS native",
+        "aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (p, q) -> p + q) AS hof")
+      .collect()
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null lanes never match; extra lanes beyond the shorter array ignored
+    val edge = spark.sql(
+      "SELECT sig_agree(array(1L, NULL, 3L), array(1L, NULL, 3L, 9L)) AS v")
+      .collect()(0).getInt(0)
+    assert(edge == 2)
+  }
+
+  test("minhash_signature tolerates null elements (hashes like empty string)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_signature(array('a', NULL, 'b', 'c'), 8) AS with_null,
+        |       minhash_signature(array('a', '', 'b', 'c'), 8) AS with_empty""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
 }

@@ -198,4 +198,17 @@ class OpsSpec extends AnyFunSuite {
     val bow = Dedup.bagOfWords(corpus)
     assert(bow.filter($"n_copies" >= 2).count() >= 7)
   }
+
+  test("connected components fails loudly when maxIter can't converge (no silent truncation)") {
+    // a 13-node path needs 12 propagation hops — maxIter=3 must throw, not
+    // return wrong labels (round-2 ADVICE)
+    val chain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // and with enough iterations the whole chain collapses to label 0
+    val ok = Dedup.connectedComponents(chain, maxIter = 20).collect()
+    assert(ok.map(_.getLong(1)).distinct.sameElements(Array(0L)))
+  }
 }

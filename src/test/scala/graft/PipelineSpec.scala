@@ -244,4 +244,71 @@ class PipelineSpec extends AnyFunSuite {
       .count()
     assert(over == 0)
   }
+
+  test("failed first run does not pin plan geometry (pin lands at first commit)") {
+    val out = freshDir()
+    val good = Tokens.synthetic(spark, 100)
+    val poisoned = good.withColumn("tokens",
+      when($"doc_id" === 7, expr("CAST(raise_error('poison pill') AS array<int>)"))
+        .otherwise($"tokens"))
+    intercept[Exception] {
+      EncodePipeline.run(spark, poisoned, cfgBase.copy(outDir = out))
+    }
+    // round-2 ADVICE: an immediately-failing first run used to permanently
+    // pin salt/bin config on an EMPTY sink and refuse later explicit configs
+    assert(ManifestSink.pinnedPlanConfig(out).isEmpty)
+    val s = EncodePipeline.run(spark, good,
+      cfgBase.copy(outDir = out, saltBuckets = 8, targetBinTokens = 8192))
+    assert(s.committed == s.planned)
+    assert(ManifestSink.pinnedPlanConfig(out).contains((8, 8192L)))
+  }
+
+  test("commit report embeds engine version + replayable config (K9 parity)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 150)
+    EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out, partPrefix = "w1"))
+    val js = ManifestSink.readCommitSummaries(out)
+    assert(js.size == 1, js)
+    assert(js.head.contains(s""""engine_version":"${EncodePipeline.Version}""""), js.head)
+    // replayable: reconstruct the Config from the report and re-run — the
+    // geometry matches, so resume must skip everything
+    import spark.implicits._
+    val c = spark.read.json(Seq(js.head).toDS).select("config.*").collect()(0)
+    val cfg2 = EncodePipeline.Config(
+      outDir = c.getAs[String]("out_dir"),
+      targetBinTokens = c.getAs[Long]("target_bin_tokens"),
+      saltBuckets = c.getAs[Long]("salt_buckets").toInt,
+      maxPartitionsPerRun = c.getAs[Long]("max_partitions_per_run").toInt,
+      partPrefix = c.getAs[String]("part_prefix"),
+      parquetCodec = c.getAs[String]("parquet_codec"),
+      broadcastKeyLimit = c.getAs[Long]("broadcast_key_limit"),
+      strictResume = c.getAs[Boolean]("strict_resume"),
+      reorgBuffer = c.getAs[Long]("reorg_buffer"))
+    val again = EncodePipeline.run(spark, tokens, cfg2)
+    assert(again.committed == 0 && again.skipped == again.planned)
+  }
+
+  test("reorg buffer: docs near the input head are deferred, not failed (F6)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 200)
+    val head = tokens.agg(max($"doc_id")).collect()(0).getLong(0)
+    val nNear = tokens.filter($"doc_id" > head - 25).count()
+    assert(nNear > 0)
+    val s = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, reorgBuffer = 25))
+    assert(s.deferred == nNear, s"deferred ${s.deferred} vs $nNear")
+    assert(s.nDocs == 200 - nNear)
+    // deferred docs are excluded from the sink, and recorded in the report
+    val stored = ManifestSink.readCommitted(spark, out)
+    assert(stored.agg(max($"doc_id")).collect()(0).getLong(0) <= head - 25)
+    assert(ManifestSink.readCommitSummaries(out).head.contains(s""""deferred":$nNear"""))
+    // identical snapshot re-run: clean resume, same deferral, no drift
+    val again = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, reorgBuffer = 25))
+    assert(again.committed == 0 && again.skipped == again.planned
+      && again.deferred == nNear)
+    intercept[IllegalArgumentException] {
+      EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out, reorgBuffer = -1))
+    }
+  }
 }

@@ -65,6 +65,31 @@ class PlanSpec extends AnyFunSuite {
     assert(big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin"), big)
   }
 
+  test("snapshot reader: broadcast under the key limit, hashed shuffle past it, never SMJ") {
+    val tokens = graft.sources.Tokens.synthetic(spark, 150)
+    val out = java.nio.file.Files.createTempDirectory("graft-plan-read").toString
+    graft.pipeline.EncodePipeline.run(spark, tokens,
+      graft.pipeline.EncodePipeline.Config(outDir = out, targetBinTokens = 4096))
+    // small committed-key set → broadcast semi-join
+    val small = formatted(graft.sinks.ManifestSink.readCommitted(spark, out))
+    assert(small.contains("BroadcastHashJoin"), small)
+    assert(small.contains("LeftSemi"), small)
+    // past the limit (simulated with limit=0): shuffled HASH join — an SMJ
+    // here would sort the heavy blob side (the documented 4× regression)
+    val big = formatted(
+      graft.sinks.ManifestSink.readCommitted(spark, out, broadcastKeyLimit = 0))
+    assert(big.contains("ShuffledHashJoin"), big)
+    assert(big.contains("LeftSemi"), big)
+    assert(!big.contains("SortMergeJoin"), big)
+    // run filter: a static isin literal for few runs (no join in the plan),
+    // a semi-join against the runs table past the run limit
+    val isin = formatted(graft.sinks.ManifestSink.committedManifest(spark, out))
+    assert(!isin.contains("Join"), isin)
+    val joined = formatted(
+      graft.sinks.ManifestSink.committedManifest(spark, out, isinRunLimit = 0))
+    assert(joined.contains("LeftSemi") && joined.contains("BroadcastHashJoin"), joined)
+  }
+
   test("encode join hashes the metadata side and never sorts the arrays") {
     val spark0 = spark
     graft.functions.GraftFunctions.register(spark0)
