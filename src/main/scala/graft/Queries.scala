@@ -248,6 +248,18 @@ object Queries {
            |  decode(from_base64(to_base64(encode(text)))) = text AS b64_ok
            |FROM documents""".stripMargin))
 
+  /** K5 per-run binary presentation (files.rs:116-132 ColumnEncoding):
+    * the export-level "hex" flag flips Binary columns to cryo's display
+    * form — '0x' + lowercase hex — which the oracle replays directly.
+    */
+  private val exportHex = Q(
+    (s, dir) => graft.sinks.Export.withBinaryEncoding(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "hex"),
+    Some("""SELECT doc_id, '0x' || lower(hex(text)) AS payload
+           |FROM documents""".stripMargin))
+
   /** F3/F4 (§2.7): keccak256 + U256 multi-representation fan-out (cryo's
     * u256_types column expansion) over sha256-derived 32-byte words.
     * Engine-internal (DuckDB has no keccak/256-bit ints) → rows-only here;
@@ -473,6 +485,7 @@ object Queries {
     "codec_auto" -> codecAuto,
     "encoded_sizes" -> encodedSizes,
     "hex_roundtrip" -> hexRoundtrip,
+    "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,
     "project_algebra" -> projectAlgebra,
     "decode_event" -> decodeEvent,
