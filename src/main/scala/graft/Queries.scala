@@ -284,6 +284,39 @@ object Queries {
     },
     None)
 
+  /** F3/F5 oracle-checked slice: the U256 representation fan-out on
+    * 32-byte words built from values in u64 range, where every target
+    * representation is SQL-computable (decimal string, f64/f32 rounding,
+    * exact u64, u32 overflow→null). The full-range/high-limb behavior
+    * (sha256-derived words, keccak) stays in `chain_derive` + ChainSpec's
+    * published vectors — this row pins the conversion pipeline itself to a
+    * cross-engine value identity through the driver gate.
+    */
+  private val chainU64Fanout = Q(
+    (s, dir) => {
+      GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "doc_id * 1000003 + 7 AS v")
+        .selectExpr(
+          "doc_id",
+          "unhex(lpad(hex(v), 64, '0')) AS word")
+        .selectExpr(
+          "doc_id",
+          "u256_to_string(word) AS word_string",
+          "u256_to_f64(word) AS word_f64",
+          "CAST(u256_to_f32(word) AS DOUBLE) AS word_f32",
+          "u256_to_u64(word) AS word_u64",
+          "CAST(u256_to_u32(word) AS BIGINT) AS word_u32")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(v AS VARCHAR) AS word_string,
+           |  CAST(v AS DOUBLE) AS word_f64,
+           |  CAST(CAST(v AS REAL) AS DOUBLE) AS word_f32,
+           |  v AS word_u64,
+           |  CASE WHEN v < 4294967296 THEN v END AS word_u32
+           |FROM (SELECT doc_id, CAST(doc_id * 1000003 + 7 AS BIGINT) AS v
+           |      FROM documents)""".stripMargin))
+
   /** P1 user-facing column-set algebra: ordered defaults + include/exclude
     * selection (schemas.rs:165-237 semantics; spec battery mirrored in
     * ColumnSelectSpec). The unknown include is permissively skipped, the
@@ -487,6 +520,7 @@ object Queries {
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,
+    "chain_u64_fanout" -> chainU64Fanout,
     "project_algebra" -> projectAlgebra,
     "decode_event" -> decodeEvent,
     "trace_frames" -> traceFrames,

@@ -77,6 +77,8 @@ class ChainSpec extends AnyFunSuite {
     intercept[Exception](Parse.count("1.5"))   // bare fraction is ambiguous
     intercept[Exception](Parse.count("12x"))
     intercept[Exception](Parse.count(""))
+    intercept[Exception](Parse.count("-5"))    // negative bare int fails fast
+    intercept[Exception](Parse.count("-2K"))   // ... same as the suffixed path
   }
 
   test("keccak256 through a Spark plan (hex roundtrip, wei formatting)") {

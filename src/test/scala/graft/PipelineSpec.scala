@@ -245,6 +245,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(over == 0)
   }
 
+  test("error reports stay valid JSON when truncation lands on an escape") {
+    val out = freshDir()
+    // a quote exactly at the 500-char truncation point: escaping-then-
+    // truncating used to cut the escape pair in half (trailing lone
+    // backslash → invalid JSON); truncate-then-escape keeps it whole
+    val nasty = ("a" * 499) + "\"" + "tail beyond the cut \\ \" \n"
+    ManifestSink.recordError(out, "run-test", nasty)
+    val reports = ManifestSink.readErrorReports(out)
+    assert(reports.size == 1)
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(reports.head).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"), reports.head)
+    val err = parsed.select("error").collect()(0).getString(0)
+    assert(err.length == 500 && err.endsWith("\""), err.takeRight(5))
+  }
+
   test("failed first run does not pin plan geometry (pin lands at first commit)") {
     val out = freshDir()
     val good = Tokens.synthetic(spark, 100)
