@@ -243,58 +243,131 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over a near-dup pair graph: cluster id = min
-    * doc_id reachable (the keeper). Label-propagation (HashToMin family):
-    * every iteration is one (edges ⨝ labels) shuffle of slim
-    * (node, label) pairs with map-side combine — no driver-side graph, so
-    * it runs at corpus scale; near-dup clusters are shallow, so the loop
-    * converges in a handful of iterations (maxIter guards pathological
-    * chains). Returns (node, label); nodes absent from `pairs` are their
-    * own singleton clusters (callers left-join + coalesce).
+  /** Eager local checkpoint that ALSO drops the source plan's statistics.
+    *
+    * `Dataset.localCheckpoint` truncates the lineage but copies the origin
+    * plan's `Statistics` into the new `LogicalRDD` (`originStats`). In an
+    * iterative loop whose step joins the checkpointed frame with itself,
+    * Catalyst's size-only join estimate MULTIPLIES the two children's
+    * `sizeInBytes` (BigInt), so the carried estimate squares every round:
+    * its bit-length doubles, and by round ~17 the driver main thread sits
+    * in million-bit `BigInteger.multiplyToomCook3` for minutes per round
+    * (jstack-verified on the 51.5k-doc stress graph; per-round wall time
+    * grew a clean ×2.5/round from 0.14s to 88s while row counts stayed
+    * constant). Rebuilding the frame from the checkpointed RDD through the
+    * public `createDataFrame` path yields a LogicalRDD with NO origin
+    * stats — each round's estimates then derive from constant leaf
+    * defaults and stay a few machine words wide. The Row round-trip costs
+    * one extra (de)serialization per consumer over slim (long, long) rows
+    * — linear and negligible next to the shuffles it sits between.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (eager), NOT persist: an iterative loop's logical
-    // plan otherwise DOUBLES per iteration (labels appears twice in each
-    // step) on top of whatever produced `pairs` — caching truncates
-    // recomputation but not plan growth, and Catalyst analysis/stringify
-    // over the exponential tree froze a 50k-doc run before any task ran.
-    // Checkpointing cuts the lineage to the materialized RDD each round
-    // (swap for reliable checkpoint() on a real cluster if executor loss
-    // during the loop must be survivable).
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy("src").agg(min("nl").as("nbr_min"))
-        .withColumnRenamed("src", "node")
-      val stepped = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-        .localCheckpoint(true)
-      changed = stepped.filter(col("new_label") < col("label")).count()
-      labels = stepped.select(col("node"), col("new_label").as("label"))
-      iter += 1
+  private def statsBarrier(df: DataFrame): (DataFrame, DataFrame) = {
+    val cp = df.localCheckpoint(true)
+    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+  }
+
+  /** Frees the storage blocks behind an eager local checkpoint once a round
+    * supersedes it. A plain `Dataset.unpersist` is a no-op here — the blocks
+    * belong to the LogicalRDD's internal RDD, which the cache manager does
+    * not track — so without this the loop would strand one edge-set copy
+    * per round until a driver GC lets the context cleaner find them (at
+    * corpus scale that's a full |E| of storage per round). Never call this
+    * on a checkpoint the returned (still-lazy) result plan references:
+    * local-checkpoint blocks are unrecoverable once dropped.
+    */
+  private def freeCheckpoint(cp: DataFrame): Unit =
+    cp.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
     }
-    if (changed > 0)
+
+  /** Connected components over a near-dup pair graph: cluster id = min
+    * doc_id reachable (the keeper). Alternating LARGE-STAR / SMALL-STAR
+    * edge rewriting (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round every node re-attaches its larger
+    * neighbors (large-star), then its smaller neighbors and itself
+    * (small-star), to the minimum of its neighborhood. The edge set
+    * converges to one star per component centered on the component's min
+    * node in O(log² n) rounds — ~8 on the adversarial 51.5k-doc stress
+    * graph, where min-LABEL propagation (the previous implementation,
+    * HashToMin family, even with pointer jumping) needed 55+ rounds: a
+    * driver-side replay of that exact graph showed min-propagation
+    * crawling hop-by-hop through chained near-dups (A~B, B~C with
+    * jac(A,C) < t), while star rewiring contracts whole neighborhoods
+    * per round. Every phase shuffles only slim (u, v) long pairs with
+    * map-side-combinable min aggregates — no driver-side graph, and
+    * per-node fan-out stays linear in degree, so it runs at corpus scale.
+    *
+    * Each round is localCheckpoint'd (eager): an iterative loop's logical
+    * plan otherwise grows multiplicatively per round (the edge set is
+    * referenced several times per phase) and Catalyst re-analysis over
+    * the compounding tree froze a 50k-doc run before any task ran. Swap
+    * for reliable checkpoint() on a real cluster if executor loss during
+    * the loop must be survivable.
+    *
+    * Returns (node, label); nodes absent from `pairs` are their own
+    * singleton clusters (callers left-join + coalesce).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val (nodes, _) = statsBarrier(pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .distinct())
+    // canonical direction: u > v (self-pairs contribute singleton nodes only)
+    var (edges, edgesCp) = statsBarrier(pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val verbose = sys.props.get("graft.cc.verbose").nonEmpty
+    var prevCount = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      // LARGE-STAR: for each center c, every strictly-larger neighbor n
+      // re-attaches to m = min(neighborhood ∪ {c}). Each undirected edge
+      // is processed once, at its smaller endpoint's neighborhood.
+      val bidir = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val cMin = bidir.groupBy("c").agg(min("n").as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val large = bidir.join(cMin, Seq("c"))
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: for each center u over its (all-smaller) neighbors S,
+      // re-attach S \ {min} and u itself to m = min(S).
+      val uMin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(uMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(uMin.select(col("u"), col("m").as("v")))
+        .distinct()
+      val (next, nextCp) = statsBarrier(small)
+      val nextCount = next.count()
+      // exact fixpoint test: same cardinality and no new edges ⇒ equal sets
+      converged = nextCount == prevCount && next.except(edges).isEmpty
+      freeCheckpoint(edgesCp)
+      edges = next
+      edgesCp = nextCp
+      prevCount = nextCount
+      iter += 1
+      if (verbose) System.err.println(
+        f"[graft] connectedComponents round=$iter edges=$nextCount converged=$converged secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    if (!converged)
       // an unconverged exit would otherwise return silently-wrong cluster
-      // ids (round-2 ADVICE: a chain-shaped dup graph deeper than maxIter
-      // hops). Near-dup graphs are shallow, so this is always a caller
-      // error worth failing loudly on — raise maxIter for deep graphs.
+      // ids (round-2 ADVICE). Star rewiring needs O(log² n) rounds, so
+      // hitting the default budget means something is genuinely wrong —
+      // fail loudly rather than mislabel.
       throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxIter iterations " +
-          s"($changed labels still changing); raise maxIter for graphs with " +
-          "paths deeper than maxIter hops")
-    labels
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "raise maxIter (rounds needed grow with log² of the largest " +
+          "component, not its diameter)")
+    // fixpoint: edges = one star per component, centered on the min node
+    nodes
+      .join(edges.groupBy(col("u").as("node")).agg(min("v").as("mn")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("mn"), col("node")).as("label"))
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by

@@ -200,8 +200,8 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("connected components fails loudly when maxIter can't converge (no silent truncation)") {
-    // a 13-node path needs 12 propagation hops — maxIter=3 must throw, not
-    // return wrong labels (round-2 ADVICE)
+    // a 13-node path needs 5 star-rewiring rounds (driver-replay verified)
+    // — maxIter=3 must throw, not return wrong labels (round-2 ADVICE)
     val chain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 3)
