@@ -201,14 +201,35 @@ class OpsSpec extends AnyFunSuite {
 
   test("connected components fails loudly when maxIter can't converge (no silent truncation)") {
     // a 13-node path needs 5 star-rewiring rounds (driver-replay verified)
-    // — maxIter=3 must throw, not return wrong labels (round-2 ADVICE)
+    // — maxIter=3 must throw, not return wrong labels (round-2 ADVICE).
+    // driverLimit = 0 forces the distributed path (the driver union-find
+    // fast path has no iteration budget to exhaust).
     val chain = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 3)
+      Dedup.connectedComponents(chain, maxIter = 3, driverLimit = 0)
     }
     assert(e.getMessage.contains("converge"), e.getMessage)
-    // and with enough iterations the whole chain collapses to label 0
-    val ok = Dedup.connectedComponents(chain, maxIter = 20).collect()
+    // and with enough rounds the whole chain collapses to label 0
+    val ok = Dedup.connectedComponents(chain, maxIter = 20, driverLimit = 0).collect()
     assert(ok.map(_.getLong(1)).distinct.sameElements(Array(0L)))
+  }
+
+  test("connected components: driver union-find ≡ distributed star rewiring on a random graph") {
+    // deterministic random graph: ~1.5k edges over 1k nodes plus planted
+    // far-id bridges, shaped to yield a mix of big components, chains and
+    // singleton-free islands
+    val rnd = new scala.util.Random(20260816L)
+    val edges = Seq.tabulate(1500) { _ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+    } ++ Seq.tabulate(30)(i => (i.toLong, (5000 + i).toLong))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSpark = Dedup.connectedComponents(pairs, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaSpark)
+    // sanity: labels are component minima (label <= node, label maps to itself)
+    assert(viaDriver.forall { case (n, l) => l <= n && viaDriver(l) == l })
+    assert(Seq.tabulate(30)(i => viaDriver(5000L + i) == viaDriver(i.toLong)).forall(identity))
   }
 }

@@ -21,11 +21,16 @@ object DedupStress {
     val pairs = graft.ops.Dedup.verifiedPairs(docs, minJacPct = 80).cache()
     val nPairs = pairs.count()
     val t1 = System.nanoTime()
-    val cc = graft.ops.Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+    // driverLimit = 0 forces the distributed star path (at 164k edges the
+    // default would take the driver union-find shortcut)
+    val cc = graft.ops.Dedup.connectedComponents(pairs.select("doc_a", "doc_b"), driverLimit = 0)
     val nClusters = cc.select("label").distinct().count()
     val nNodes = cc.count()
     val t2 = System.nanoTime()
-    println(f"DEDUPSTRESS docs=${docs.count()} pairs=$nPairs pairs_secs=${(t1-t0)/1e9}%.1f cc_nodes=$nNodes cc_clusters=$nClusters cc_secs=${(t2-t1)/1e9}%.1f")
+    val ccDrv = graft.ops.Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+    val nClustersDrv = ccDrv.select("label").distinct().count()
+    val t3 = System.nanoTime()
+    println(f"DEDUPSTRESS docs=${docs.count()} pairs=$nPairs pairs_secs=${(t1-t0)/1e9}%.1f cc_nodes=$nNodes cc_clusters=$nClusters cc_secs=${(t2-t1)/1e9}%.1f cc_driver_clusters=$nClustersDrv cc_driver_secs=${(t3-t2)/1e9}%.1f")
     spark.stop()
   }
 }
