@@ -408,6 +408,27 @@ object Dedup {
       .select(col("node"), coalesce(col("mn"), col("node")).as("label"))
   }
 
+  /** The deduplicated corpus, end to end: verified near-dup pairs →
+    * connected components → one KEEPER per cluster (its min doc_id — the
+    * cluster label), with the cluster's member count attached. This is
+    * the operation a training-data pipeline actually runs: filter the
+    * corpus to `keepers` output and every near-dup group survives as a
+    * single representative. Stages inherit their scale shapes: capped
+    * LSH candidates, signature prefilter, exact verify, star-rewrite CC
+    * (or its bounded driver path), then one slim (cluster → count)
+    * aggregation with map-side combine.
+    */
+  def keepers(docs: DataFrame, minJacPct: Int = 80): DataFrame = {
+    val pairs = verifiedPairs(docs, minJacPct).select("doc_a", "doc_b")
+    val cc = connectedComponents(pairs).withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster").as("doc_id"), col("cluster_size"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by
     * random-hyperplane LSH (see [[Ann.hyperplaneBuckets]]) so the pair join
     * never goes quadratic in the corpus.

@@ -214,6 +214,15 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.map(_.getLong(1)).distinct.sameElements(Array(0L)))
   }
 
+  test("keepers: one representative per near-dup cluster with its member count") {
+    val one = docs.filter($"doc_id" === 2).select($"text").collect()(0).getString(0)
+    val clones = spark.range(0, 6).select(($"id" + 500000).as("doc_id"), lit(one).as("text"))
+    val corpus = docs.filter($"doc_id" === 2).select("doc_id", "text").unionByName(clones)
+    val k = Dedup.keepers(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 7 identical docs → a single keeper (the min doc_id) representing all 7
+    assert(k == Map(2L -> 7L))
+  }
+
   test("connected components: driver union-find ≡ distributed star rewiring on a random graph") {
     // deterministic random graph: ~1.5k edges over 1k nodes plus planted
     // far-id bridges, shaped to yield a mix of big components, chains and
