@@ -223,6 +223,50 @@ class OpsSpec extends AnyFunSuite {
     assert(k == Map(2L -> 7L))
   }
 
+  test("connected components: empty and self-pair-only inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponents(empty, driverLimit = 0).count() == 0)
+    // self-pairs carry no connectivity: every node is its own singleton
+    val selfs = Seq((5L, 5L), (9L, 9L)).toDF("doc_a", "doc_b")
+    val lab = Dedup.connectedComponents(selfs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab == Map(5L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components: both paths match reference union-find across many random graphs") {
+    // property sweep: varied densities and id ranges, including far-id
+    // bridges and guaranteed chains; reference = driver union-find written
+    // independently of the implementation under test
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 8) {
+      val n = 50 + rnd.nextInt(400)
+      val extra = rnd.nextInt(3 * n)
+      val edges = Seq.tabulate(extra) { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      } ++ Seq.tabulate(n / 10)(i => (i.toLong, (90000 + 2 * i).toLong)) ++
+        (0 until n / 7).map(i => (i.toLong, i + 1L))
+      // reference: rank-free union-find, union by min root
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val viaDriver = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == want, s"driver path diverged on trial $trial (n=$n)")
+      if (trial <= 3) { // distributed path is slower; sample it
+        val viaSpark = Dedup.connectedComponents(pairs, driverLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaSpark == want, s"star path diverged on trial $trial (n=$n)")
+      }
+    }
+  }
+
   test("connected components: driver union-find ≡ distributed star rewiring on a random graph") {
     // deterministic random graph: ~1.5k edges over 1k nodes plus planted
     // far-id bridges, shaped to yield a mix of big components, chains and
