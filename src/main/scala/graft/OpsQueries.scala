@@ -72,11 +72,39 @@ object OpsQueries {
            |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
            |WHERE jac_pct >= 80""".stripMargin))
 
+  /** Shared oracle prefix for the cluster-closure queries: exact all-pairs
+    * trigram jaccard ≥ 80 (equal to the LSH candidate set at gate scale,
+    * see dedup_verified) closed transitively with a recursive CTE, ending
+    * in `cl(node, mn)` = per-node min reachable id. ONE string so
+    * dedup_clusters and dedup_keepers can never desynchronize.
+    */
+  private val clusterClosureCte =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(words) >= 3 THEN
+      |      list_transform(range(0, len(words) - 2),
+      |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+      |    ELSE [array_to_string(words, ' ')] END) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |), p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE floor(100.0 * len(list_intersect(a.grams, b.grams)) /
+      |    len(list_distinct(list_concat(a.grams, b.grams)))) >= 80
+      |), e AS (
+      |  SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p
+      |), reach AS (
+      |  SELECT a AS node, b AS label FROM e
+      |  UNION
+      |  SELECT r.node, e2.b FROM reach r JOIN e e2 ON e2.a = r.label
+      |), cl AS (
+      |  SELECT node, min(label) AS mn FROM reach GROUP BY node
+      |)""".stripMargin
+
   /** The last stage of the dedup pipeline: near-dup pairs → connected
     * components → per-doc cluster id (= keeper doc). Oracle replays the
-    * same edge set exactly (all-pairs jac ≥ 80 at gate scale — equal to
-    * the LSH candidates, see dedup_verified) and closes it transitively
-    * with a recursive CTE.
+    * same edge set exactly and closes it transitively
+    * ([[clusterClosureCte]]).
     */
   private val dedupClusters = Q(
     (s, dir) => {
@@ -87,68 +115,29 @@ object OpsQueries {
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
     },
-    Some("""WITH RECURSIVE g AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(words) >= 3 THEN
-           |      list_transform(range(0, len(words) - 2),
-           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
-           |    ELSE [array_to_string(words, ' ')] END) AS grams
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-           |), p AS (
-           |  SELECT a.doc_id AS da, b.doc_id AS db
-           |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-           |  WHERE floor(100.0 * len(list_intersect(a.grams, b.grams)) /
-           |    len(list_distinct(list_concat(a.grams, b.grams)))) >= 80
-           |), e AS (
-           |  SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p
-           |), reach AS (
-           |  SELECT a AS node, b AS label FROM e
-           |  UNION
-           |  SELECT r.node, e2.b FROM reach r JOIN e e2 ON e2.a = r.label
-           |), cl AS (
-           |  SELECT node, min(label) AS mn FROM reach GROUP BY node
-           |)
-           |SELECT d.doc_id,
-           |  CAST(coalesce(CASE WHEN cl.mn < d.doc_id THEN cl.mn ELSE d.doc_id END,
-           |                d.doc_id) AS BIGINT) AS cluster
-           |FROM documents d LEFT JOIN cl ON cl.node = d.doc_id""".stripMargin))
+    Some(clusterClosureCte +
+      """
+        |SELECT d.doc_id,
+        |  CAST(coalesce(CASE WHEN cl.mn < d.doc_id THEN cl.mn ELSE d.doc_id END,
+        |                d.doc_id) AS BIGINT) AS cluster
+        |FROM documents d LEFT JOIN cl ON cl.node = d.doc_id""".stripMargin))
 
   /** The dedup pipeline's user-facing end: one keeper doc per near-dup
     * cluster with its member count — the deduplicated corpus. Oracle
-    * reuses dedup_clusters' recursive-CTE closure (same validity
-    * conditions) and aggregates cluster sizes.
+    * extends [[clusterClosureCte]] (same validity conditions as
+    * dedup_clusters) and aggregates cluster sizes.
     */
   private val dedupKeepers = Q(
     (s, dir) => Dedup.keepers(docs(s, dir), minJacPct = 80),
-    Some("""WITH RECURSIVE g AS (
-           |  SELECT doc_id,
-           |    list_distinct(CASE WHEN len(words) >= 3 THEN
-           |      list_transform(range(0, len(words) - 2),
-           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
-           |    ELSE [array_to_string(words, ' ')] END) AS grams
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-           |), p AS (
-           |  SELECT a.doc_id AS da, b.doc_id AS db
-           |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-           |  WHERE floor(100.0 * len(list_intersect(a.grams, b.grams)) /
-           |    len(list_distinct(list_concat(a.grams, b.grams)))) >= 80
-           |), e AS (
-           |  SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p
-           |), reach AS (
-           |  SELECT a AS node, b AS label FROM e
-           |  UNION
-           |  SELECT r.node, e2.b FROM reach r JOIN e e2 ON e2.a = r.label
-           |), cl AS (
-           |  SELECT node, min(label) AS mn FROM reach GROUP BY node
-           |), assigned AS (
-           |  SELECT d.doc_id,
-           |    coalesce(CASE WHEN cl.mn < d.doc_id THEN cl.mn ELSE d.doc_id END,
-           |             d.doc_id) AS cluster
-           |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
-           |)
-           |SELECT CAST(cluster AS BIGINT) AS doc_id,
-           |  COUNT(*) AS cluster_size
-           |FROM assigned GROUP BY 1""".stripMargin))
+    Some(clusterClosureCte +
+      """
+        |SELECT CAST(cluster AS BIGINT) AS doc_id,
+        |  COUNT(*) AS cluster_size
+        |FROM (
+        |  SELECT coalesce(CASE WHEN cl.mn < d.doc_id THEN cl.mn ELSE d.doc_id END,
+        |                  d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+        |) GROUP BY 1""".stripMargin))
 
   private val dedupMinhash = Q(
     (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2)

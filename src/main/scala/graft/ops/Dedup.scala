@@ -261,7 +261,7 @@ object Dedup {
     * one extra (de)serialization per consumer over slim (long, long) rows
     * — linear and negligible next to the shuffles it sits between.
     */
-  private def statsBarrier(df: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def statsBarrier(df: DataFrame): (DataFrame, DataFrame) = {
     val cp = df.localCheckpoint(true)
     (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
   }
@@ -275,7 +275,7 @@ object Dedup {
     * on a checkpoint the returned (still-lazy) result plan references:
     * local-checkpoint blocks are unrecoverable once dropped.
     */
-  private def freeCheckpoint(cp: DataFrame): Unit =
+  private[graft] def freeCheckpoint(cp: DataFrame): Unit =
     cp.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
@@ -308,7 +308,7 @@ object Dedup {
     * Returns (node, label); nodes absent from `pairs` are their own
     * singleton clusters (callers left-join + coalesce).
     *
-    * Hybrid execution: a deduped edge set of `driverLimit` rows or fewer
+    * Hybrid execution: a deduped edge set of fewer than `driverLimit` rows
     * (default 2^20 ≈ 16 MB of longs — a bounded, broadcast-sized collect,
     * NOT an unbounded driver loop) is solved in one pass of driver-side
     * union-find instead of ~8 rounds × ~6 shuffles of Spark jobs; union
@@ -318,22 +318,31 @@ object Dedup {
     * magnitude smaller than their corpus, so most runs resolve in
     * milliseconds on the driver, while anything past the bound takes the
     * distributed star path (stress-proven at 164k edges; pass
-    * `driverLimit = 0` to force it).
+    * `driverLimit = 0` to force it). Ids are normalized to BIGINT, so
+    * both paths return the same (node, label) LongType schema.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
       driverLimit: Long = 1L << 20): DataFrame = {
-    val (nodes, _) = statsBarrier(pairs.select(col("doc_a").as("node"))
-      .unionByName(pairs.select(col("doc_b").as("node")))
+    // materialize the (possibly expensive) upstream pair pipeline EXACTLY
+    // once; nodes and edges below re-read these checkpoint blocks instead
+    // of re-running the plan (the naive form evaluated it up to 3×: once
+    // per barrier plus once per union branch)
+    val (p0, p0Cp) = statsBarrier(pairs
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")))
+    val (nodes, _) = statsBarrier(p0.select(col("doc_a").as("node"))
+      .unionByName(p0.select(col("doc_b").as("node")))
       .distinct())
     // canonical direction: u > v (self-pairs contribute singleton nodes only)
-    var (edges, edgesCp) = statsBarrier(pairs
+    var (edges, edgesCp) = statsBarrier(p0
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
+    freeCheckpoint(p0Cp)
     val verbose = sys.props.get("graft.cc.verbose").nonEmpty
     var prevCount = edges.count()
-    if (prevCount <= driverLimit) {
+    if (prevCount < driverLimit) {
       val t0 = System.nanoTime()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -351,8 +360,9 @@ object Dedup {
       }
       freeCheckpoint(edgesCp)
       val sess = pairs.sparkSession
+      val keys = parent.keys.toArray // snapshot: find() mutates the map
       val labels = sess.createDataFrame(
-        parent.keysIterator.map(n => (n, find(n))).toSeq).toDF("node", "label")
+        keys.toSeq.map(n => (n, find(n)))).toDF("node", "label")
       if (verbose) System.err.println(
         f"[graft] connectedComponents driver union-find edges=$prevCount secs=${(System.nanoTime() - t0) / 1e9}%.2f")
       return nodes.join(labels, Seq("node"), "left")
