@@ -327,6 +327,24 @@ object OpsQueries {
            |      * 1099511628211 % 18446744073709551616) AS v
            |  FROM documents)""".stripMargin))
 
+  /** Training-mixture construction: per-language downsampling to target
+    * proportions (en 900‰, zh 700‰, rest 300‰) via the deterministic
+    * doc_id bucket — a pure codegen'd filter, no shuffle, and replayable
+    * arithmetic (see [[graft.ops.Sampling.bucketSql]]) so the oracle
+    * recomputes the identical kept set.
+    */
+  private val corpusMix = Q(
+    (s, dir) => Sampling.mixCorpus(docs(s, dir), "lang",
+        Map("en" -> 900, "zh" -> 700), defaultPerMille = 300)
+      .select(col("doc_id"), col("lang"), col("mix_bucket")),
+    Some("""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    ((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000 AS b
+           |  FROM documents)
+           |WHERE b < CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 700 ELSE 300 END"""
+      .stripMargin))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -346,6 +364,7 @@ object OpsQueries {
     "dedup_verified" -> dedupVerified,
     "dedup_clusters" -> dedupClusters,
     "dedup_keepers" -> dedupKeepers,
+    "corpus_mix" -> corpusMix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

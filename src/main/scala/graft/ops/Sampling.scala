@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling / mixture construction — the step of a
+  * training-data pipeline that downsamples each stratum (source, language,
+  * quality band …) to target proportions before tokenization.
+  *
+  * Everything is a row-local, codegen-friendly filter: no shuffle, no
+  * state, no RNG. Reproducibility comes from hashing the stable doc_id
+  * instead of drawing randoms, so reruns, retries and resumed jobs keep
+  * exactly the same documents — at 100 TB that property matters more than
+  * hash finesse, and it also makes the operation replayable by an external
+  * SQL engine for the correctness oracle.
+  */
+object Sampling {
+
+  /** Mixing bucket in [0, 1000): a bounded Knuth-style multiplicative hash
+    * of doc_id using only overflow-free BIGINT steps (operands stay under
+    * 2^32 × 1,597,334,677 < 2^63), because DuckDB errors on BIGINT overflow
+    * while the JVM wraps — the oracle must replay this bit-for-bit. The
+    * middle bits (div 65536) decorrelate the bucket from doc_id's low-bit
+    * patterns (sequential ids, stride-k subsets).
+    */
+  val bucketSql: String =
+    "pmod(pmod(pmod(doc_id, 4294967296) * 1597334677, 4294967296) div 65536, 1000)"
+
+  /** `bucketSql` as a column (LongType). */
+  def bucket: Column = expr(bucketSql).cast("long")
+
+  /** Keep each document iff its bucket falls under its stratum's
+    * per-mille rate: `ratesPerMille(keyCol)` ‰ of every stratum survives,
+    * `defaultPerMille` ‰ of strata not in the map. The rate map rides in
+    * the plan as a literal (no join, stays inside WholeStageCodegen).
+    * Adds `mix_bucket` so downstream audits can re-derive the decision.
+    */
+  def mixCorpus(docs: DataFrame, keyCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
+    require(defaultPerMille >= 0 && defaultPerMille <= 1000,
+      s"defaultPerMille out of [0, 1000]: $defaultPerMille")
+    ratesPerMille.foreach { case (k, v) =>
+      require(v >= 0 && v <= 1000, s"rate for '$k' out of [0, 1000]: $v")
+    }
+    val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
+    docs
+      .withColumn("mix_bucket", bucket)
+      .withColumn("mix_rate",
+        coalesce(element_at(rates, col(keyCol)), lit(defaultPerMille.toLong)))
+      .filter(col("mix_bucket") < col("mix_rate"))
+      .drop("mix_rate")
+  }
+}

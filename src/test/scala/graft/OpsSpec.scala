@@ -223,6 +223,30 @@ class OpsSpec extends AnyFunSuite {
     assert(k == Map(2L -> 7L))
   }
 
+  test("corpus mix: deterministic, rate-bounded, shuffle-free") {
+    val rates = Map("en" -> 800, "zh" -> 500)
+    val kept = Sampling.mixCorpus(docs, "lang", rates, defaultPerMille = 200)
+    // driver replay of the documented bucket arithmetic selects the same set
+    val expected = docs.select("doc_id", "lang").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val b = (id % 4294967296L) * 1597334677L % 4294967296L / 65536L % 1000L
+      if (b < rates.getOrElse(r.getString(1), 200).toLong) Some(id -> b) else None
+    }.toMap
+    val got = kept.select("doc_id", "mix_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // reruns keep the identical documents (no RNG anywhere)
+    val again = Sampling.mixCorpus(docs, "lang", rates, defaultPerMille = 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == expected.keySet)
+    // rate 0 strata vanish; rate 1000 strata survive whole
+    val all = Sampling.mixCorpus(docs, "lang", Map("en" -> 1000), 0)
+    assert(all.filter($"lang" =!= "en").count() == 0)
+    assert(all.count() == docs.filter($"lang" === "en").count())
+    // a pure filter: the plan must contain no exchange
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("connected components: empty and self-pair-only inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
