@@ -6,9 +6,11 @@ object DedupStress {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
-    // 50k synthetic docs (text = token words) + 500-clone boilerplate
-    // cluster + 1000 near-dup pairs (doc and its 1-word-dropped twin)
-    val base = graft.sources.Tokens.synthetic(spark, 50000)
+    // N synthetic docs (text = token words; SPARK_GRAFT_STRESS_DOCS,
+    // default 50k) + 500-clone boilerplate cluster + N/50 near-dup pairs
+    // (doc and its 1-word-dropped twin)
+    val nDocs = sys.env.get("SPARK_GRAFT_STRESS_DOCS").map(_.toInt).getOrElse(50000)
+    val base = graft.sources.Tokens.synthetic(spark, nDocs)
       .select(col("doc_id"), concat_ws(" ",
         expr("transform(tokens, x -> CAST(x AS STRING))")).as("text"))
     val boiler = base.filter(col("doc_id") === 123).select(col("text")).collect()(0).getString(0)
