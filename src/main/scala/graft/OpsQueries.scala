@@ -345,6 +345,34 @@ object OpsQueries {
            |WHERE b < CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 700 ELSE 300 END"""
       .stripMargin))
 
+  /** Benchmark decontamination: every 97th doc plays the eval set; corpus
+    * docs sharing ≥ 2 distinct trigrams with a probe are flagged
+    * (self-hits excluded). Exact set arithmetic, replayed verbatim by the
+    * oracle.
+    */
+  private val decontaminate = Q(
+    (s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      TextOps.contamination(d, probes, n = 3, minShared = 2)
+        .filter(col("doc_id") =!= col("probe_id"))
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3 THEN
+           |      list_transform(range(0, len(words) - 2),
+           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+           |    ELSE [array_to_string(words, ' ')] END)) AS gram
+           |  FROM w
+           |), p AS (
+           |  SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 0
+           |)
+           |SELECT g.doc_id, p.probe_id, COUNT(*) AS shared_grams
+           |FROM g JOIN p ON g.gram = p.gram AND g.doc_id <> p.probe_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -365,6 +393,7 @@ object OpsQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_keepers" -> dedupKeepers,
     "corpus_mix" -> corpusMix,
+    "decontaminate" -> decontaminate,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

@@ -105,4 +105,39 @@ object TextOps {
       |  transform(sequence(1, length(text)),
       |    i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))),
       |  0L, (a, b) -> a + b) % 1000000007""".stripMargin
+
+  /** Distinct word n-gram array for `words` (pre-split); docs shorter than
+    * n collapse to their whole text as one gram — same degenerate-doc rule
+    * as [[Dedup]]'s trigram unit, generalized to any n.
+    */
+  private[graft] def gramsSql(n: Int): String = {
+    val parts = (1 to n).map(j => s"element_at(words, i + $j)").mkString(", ")
+    s"""array_distinct(CASE WHEN size(words) >= $n THEN
+       |  transform(sequence(0, size(words) - $n),
+       |    i -> concat_ws(' ', $parts))
+       |ELSE array(concat_ws(' ', words)) END)""".stripMargin
+  }
+
+  /** Benchmark DECONTAMINATION: flag corpus docs that share word n-grams
+    * with an evaluation set, so they can be dropped before training leaks
+    * the benchmark. `probes` is (probe_id, text) — an eval set is small by
+    * construction, so its exploded distinct grams are BROADCAST; the
+    * corpus side streams map-side through the hash join and only slim
+    * (doc_id, probe_id) hits cross the one aggregation shuffle. Returns
+    * (doc_id, probe_id, shared_grams = distinct n-grams in common), rows
+    * with shared_grams ≥ minShared. Exact and deterministic, so an
+    * external SQL engine replays it verbatim.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
+      minShared: Long = 1): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    def explodedGrams(df: DataFrame, idCol: String) = df
+      .withColumn("words", split(col("text"), " "))
+      .select(col(idCol), explode(expr(gramsSql(n))).as("gram"))
+    explodedGrams(docs, "doc_id")
+      .join(broadcast(explodedGrams(probes, "probe_id")), Seq("gram"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
 }

@@ -223,6 +223,23 @@ class OpsSpec extends AnyFunSuite {
     assert(k == Map(2L -> 7L))
   }
 
+  test("decontamination counts shared distinct n-grams against the eval set") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w v"), (3L, "c d e q r"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, "b c d e f")).toDF("probe_id", "text")
+    // probe grams {b c d, c d e, d e f}: doc 1 shares {b c d, c d e},
+    // doc 3 shares {c d e}, doc 2 shares nothing
+    val got = TextOps.contamination(corpus, probes, n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 100L) -> 2L, (3L, 100L) -> 1L))
+    assert(TextOps.contamination(corpus, probes, n = 3, minShared = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // short docs degrade to a whole-text gram, not an empty set
+    val shorty = Seq((9L, "b c")).toDF("doc_id", "text")
+    assert(TextOps.contamination(shorty, Seq((8L, "b c")).toDF("probe_id", "text"))
+      .collect().map(r => r.getLong(2)).toSeq == Seq(1L))
+  }
+
   test("corpus mix: deterministic, rate-bounded, shuffle-free") {
     val rates = Map("en" -> 800, "zh" -> 500)
     val kept = Sampling.mixCorpus(docs, "lang", rates, defaultPerMille = 200)
