@@ -129,13 +129,19 @@ object TextOps {
     * external SQL engine replays it verbatim.
     */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
-      minShared: Long = 1): DataFrame = {
+      minShared: Long = 1, broadcastProbeLimit: Long = 100000): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
     def explodedGrams(df: DataFrame, idCol: String) = df
       .withColumn("words", split(col("text"), " "))
       .select(col(idCol), explode(expr(gramsSql(n))).as("gram"))
+    // size-guarded broadcast (same pattern as the manifest reader): a
+    // probe set past the limit would blow the broadcast, so it degrades
+    // to a plain shuffle join on gram instead of failing
+    val pg = explodedGrams(probes, "probe_id")
+    val probeSide =
+      if (probes.count() <= broadcastProbeLimit) broadcast(pg) else pg
     explodedGrams(docs, "doc_id")
-      .join(broadcast(explodedGrams(probes, "probe_id")), Seq("gram"))
+      .join(probeSide, Seq("gram"))
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)

@@ -238,6 +238,16 @@ class OpsSpec extends AnyFunSuite {
     val shorty = Seq((9L, "b c")).toDF("doc_id", "text")
     assert(TextOps.contamination(shorty, Seq((8L, "b c")).toDF("probe_id", "text"))
       .collect().map(r => r.getLong(2)).toSeq == Seq(1L))
+    // size guard: past the probe limit the broadcast is no longer FORCED
+    // (the planner may still choose one from its own size estimate — the
+    // guard only removes the hint that would override it at any size)
+    val guarded = TextOps.contamination(corpus, probes, n = 3, minShared = 1,
+      broadcastProbeLimit = 0)
+    assert(!guarded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val forced = TextOps.contamination(corpus, probes, n = 3, minShared = 1)
+    assert(forced.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(guarded.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      == Map((1L, 100L) -> 2L, (3L, 100L) -> 1L))
   }
 
   test("corpus mix: deterministic, rate-bounded, shuffle-free") {
