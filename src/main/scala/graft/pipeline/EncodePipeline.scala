@@ -97,7 +97,7 @@ object EncodePipeline {
       * analog): enough to replay the run byte-identically.
       */
     private[pipeline] def reportJson(resolvedSalts: Int): String = {
-      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def esc(s: String) = graft.util.JsonEsc.escape(s)
       s"""{"out_dir":"${esc(outDir)}","target_bin_tokens":$targetBinTokens,""" +
         s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
         s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
@@ -211,7 +211,15 @@ object EncodePipeline {
     // (max doc_id) are excluded from this run's plan and counted as
     // deferred — the batch analog of the reference's
     // drop-blocks-near-chain-tip (cli blocks.rs:366-390). They are NOT
-    // failures: a later run over a settled snapshot picks them up.
+    // failures: once settled, the tail runs as a SCOPED follow-up —
+    // filter the input to doc_id > cutoff and run with a fresh
+    // `partPrefix`, the same per-batch key scoping streaming uses.
+    // (An UNscoped re-run over the grown snapshot cannot pick them up:
+    // positional bin keys make the trailing committed bin re-plan with
+    // more docs, which the strict-resume drift guard rightly refuses —
+    // and with strictResume=false the anti-join would silently skip the
+    // tail docs that fall inside an already-committed bin. The pickup
+    // spec in PipelineSpec demonstrates the scoped route end to end.)
     val (tokens, nDeferred) =
       if (cfg.reorgBuffer <= 0) (tokens0, 0L)
       else {

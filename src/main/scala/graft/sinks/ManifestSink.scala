@@ -199,8 +199,7 @@ object ManifestSink {
     // truncate the RAW message first, then escape: truncating after
     // escaping could cut mid escape pair (trailing lone backslash from an
     // escaped quote) and produce an invalid JSON report
-    val safe = message.take(500).replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ")
+    val safe = graft.util.JsonEsc.escape(message.take(500))
     val tmp = dir.resolve(s"_tmp_$runId.json")
     Files.write(tmp,
       s"""{"run_id":"$runId","error":"$safe"}""".getBytes(StandardCharsets.UTF_8))

@@ -326,5 +326,15 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out, reorgBuffer = -1))
     }
+    // pickup of the settled tail: a SCOPED follow-up run (fresh partPrefix,
+    // input filtered to the deferred docs) — positional bin keys over a
+    // grown plan are not incrementally resumable, so the tail gets its own
+    // key namespace, exactly like a streaming micro-batch
+    val tail = tokens.filter($"doc_id" > head - 25)
+    val s3 = EncodePipeline.run(spark, tail,
+      cfgBase.copy(outDir = out, partPrefix = "tail1"))
+    assert(s3.nDocs == nNear && s3.deferred == 0)
+    val all = ManifestSink.readCommitted(spark, out)
+    assert(all.count() == 200 && all.select("doc_id").distinct().count() == 200)
   }
 }
