@@ -207,6 +207,16 @@ object EncodePipeline {
 
   private def runGuarded(spark: SparkSession, tokens0: DataFrame, cfg: Config,
       runId: String, t0: Long): RunSummary = {
+    // phase timing behind -Dgraft.pipeline.verbose: stderr-only, and the
+    // one behavior change (an extra materializing count on the encoded
+    // cache, to split encode cost from write cost) happens only when on
+    val verbose = sys.props.get("graft.pipeline.verbose").nonEmpty
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (verbose) {
+      val now = System.nanoTime()
+      System.err.println(f"[graft] pipeline phase=$name secs=${(now - tPhase) / 1e9}%.2f")
+      tPhase = now
+    }
     // F6 batch reorg guard: docs within `reorgBuffer` of the input head
     // (max doc_id) are excluded from this run's plan and counted as
     // deferred — the batch analog of the reference's
@@ -232,6 +242,7 @@ object EncodePipeline {
         }
       }
 
+    phase("reorg_guard")
     // part_keys are positional (source, salt, bin) coordinates: every run
     // against this sink must use the same geometry or identical docs land
     // under fresh keys and resume sees nothing to skip (silent dupes).
@@ -254,6 +265,7 @@ object EncodePipeline {
       case None => resolveSalts(tokens, cfg)
     }
 
+    phase("salt_resolve")
     val committedMan = ManifestSink.committedManifest(spark, cfg.outDir)
     val committedKeysDf = committedMan.select("part_key").distinct()
     val nCommitted = committedKeysDf.count()
@@ -262,13 +274,17 @@ object EncodePipeline {
     // plan/skip/limit accounting and the key join never re-derive the
     // input; the heavy arrays are read exactly once per run, in the encode
     // pass (the reference's plan-then-collect shape, freeze.rs:26-125).
+    phase("committed_read")
     val plannedParts = plan(tokens, cfg, salts).persist(StorageLevel.MEMORY_AND_DISK)
     val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog)
+    phase("plan_persist")
     var todoKeys = resumeAntiJoin(plannedKeys, committedKeysDf, nCommitted,
       cfg.broadcastKeyLimit)
-    val nTodo = todoKeys.count()
+    // fresh sink (nothing committed): the anti-join is an identity, so the
+    // todo count equals the planned count — skip the extra job
+    val nTodo = if (nCommitted == 0) nPlanned else todoKeys.count()
     val nSkipped = nPlanned - nTodo // previously committed (≠ deferred below)
 
     if (cfg.strictResume && nSkipped > 0) {
@@ -326,6 +342,8 @@ object EncodePipeline {
       .repartition(col("part_key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    phase("resume_join")
+    if (verbose) { encoded.count(); phase("encode_materialize") }
     try {
       encoded
         .withColumn("part_stub", partStub(cfg))
@@ -339,23 +357,45 @@ object EncodePipeline {
         .option("compression", cfg.parquetCodec)
         .parquet(ManifestSink.dataDir(cfg.outDir))
 
+      phase("data_write")
       // per-partition lineage + metrics rows (reports.rs / summaries.rs
-      // analog). All aggs below are over cached slim metadata columns.
-      val manifestBase = encoded
+      // analog). ONE scan of the encoded cache produces a slim
+      // per-(part_key, task, codec) intermediate; the manifest rows, the
+      // per-task wall spans, and the token-share apportionment all derive
+      // from it — this used to be three separate full passes over the
+      // cached blobs (at 100 TB: three scans of a dataset that may have
+      // spilled to disk, for metadata).
+      val slim = encoded
+        .groupBy("part_key", "source", "salt", "bin", "run_id", "enc_task", "codec")
+        .agg(
+          count(lit(1)).as("g_docs"),
+          sum(col("n_tok").cast("long")).as("g_tokens"),
+          sum(length(col("blob")).cast("long")).as("g_bytes"),
+          min("enc_ns").as("g_min_ns"),
+          max("enc_ns").as("g_max_ns"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val perCodec = slim
+        .groupBy("part_key", "source", "salt", "bin", "run_id", "codec")
+        .agg(sum("g_docs").as("c_docs"), sum("g_tokens").as("c_tokens"),
+          sum("g_bytes").as("c_bytes"))
+      val manifestBase = perCodec
         .groupBy("part_key", "source", "salt", "bin", "run_id")
         .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_tok").cast("long")).as("n_tokens"),
-          (sum(col("n_tok").cast("long")) * 4).as("raw_bytes"),
-          sum(length(col("blob")).cast("long")).as("encoded_bytes"),
-          mode(col("codec")).as("codec"))
+          sum("c_docs").as("n_docs"),
+          sum("c_tokens").as("n_tokens"),
+          (sum("c_tokens") * 4).as("raw_bytes"),
+          sum("c_bytes").as("encoded_bytes"),
+          // ≡ mode(codec) over doc rows (codec with the max doc count),
+          // with the tie now DETERMINISTIC (largest codec name wins the
+          // struct comparison) where mode's tie pick was arbitrary
+          max(struct(col("c_docs"), col("codec"))).getField("codec").as("codec"))
       // real wall time: per encode task, first-row→last-row span;
       // apportioned to part_keys by token share within the task
-      val taskWall = encoded.groupBy("enc_task").agg(
-        ((max("enc_ns") - min("enc_ns")) / 1000000L).as("task_wall_ms"),
-        sum(col("n_tok").cast("long")).as("task_tokens"))
-      val wallPerKey = encoded.groupBy("part_key", "enc_task")
-        .agg(sum(col("n_tok").cast("long")).as("kt_tokens"))
+      val taskWall = slim.groupBy("enc_task").agg(
+        ((max("g_max_ns") - min("g_min_ns")) / 1000000L).as("task_wall_ms"),
+        sum("g_tokens").as("task_tokens"))
+      val wallPerKey = slim.groupBy("part_key", "enc_task")
+        .agg(sum("g_tokens").as("kt_tokens"))
         .join(taskWall, Seq("enc_task"))
         .groupBy("part_key")
         .agg(ceil(sum(col("task_wall_ms") * col("kt_tokens") / greatest(col("task_tokens"), lit(1L))))
@@ -368,10 +408,13 @@ object EncodePipeline {
         .write.mode("append").partitionBy("run_id")
         .parquet(ManifestSink.manifestDir(cfg.outDir))
 
+      phase("manifest_write")
       val totals = manifest.agg(
         count(lit(1)), coalesce(sum("n_docs"), lit(0L)),
         coalesce(sum("n_tokens"), lit(0L)), coalesce(sum("raw_bytes"), lit(0L)),
         coalesce(sum("encoded_bytes"), lit(0L))).collect()(0)
+      slim.unpersist()
+      manifest.unpersist()
       val nParts = totals.getLong(0)
       val wallMs = (System.nanoTime() - t0) / 1000000
       val priorErrors = ManifestSink.readErrorReports(cfg.outDir).size.toLong
@@ -393,6 +436,7 @@ object EncodePipeline {
             "not committing (data stays invisible). Re-run to resume.")
       }
 
+      phase("totals_pin")
       // atomic publish — everything above is invisible until this succeeds
       ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
       summary
