@@ -22,6 +22,11 @@ object Sampling {
     * while the JVM wraps — the oracle must replay this bit-for-bit. The
     * middle bits (div 65536) decorrelate the bucket from doc_id's low-bit
     * patterns (sequential ids, stride-k subsets).
+    *
+    * VALIDITY CONDITION: doc_id must be non-negative. Spark's pmod is
+    * always non-negative while DuckDB's % (and the JVM's, in the spec's
+    * driver replay) preserve sign, so a negative doc_id would bucket
+    * differently across the three mirrors. [[mixCorpus]] enforces this.
     */
   val bucketSql: String =
     "pmod(pmod(pmod(doc_id, 4294967296) * 1597334677, 4294967296) div 65536, 1000)"
@@ -42,12 +47,19 @@ object Sampling {
     ratesPerMille.foreach { case (k, v) =>
       require(v >= 0 && v <= 1000, s"rate for '$k' out of [0, 1000]: $v")
     }
+    require(!docs.columns.contains("mix_bucket"),
+      "input already has a mix_bucket column (it is this operator's output)")
+    val rateCol = "__graft_mix_rate" // internal; prefixed to avoid clobbering
     val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
     docs
-      .withColumn("mix_bucket", bucket)
-      .withColumn("mix_rate",
+      .withColumn("mix_bucket",
+        // negative ids would bucket differently across the Spark/DuckDB/JVM
+        // mirrors (pmod vs sign-preserving %) — fail loudly, don't mis-mix
+        when(col("doc_id") >= 0, bucket)
+          .otherwise(raise_error(lit("mixCorpus requires non-negative doc_id"))))
+      .withColumn(rateCol,
         coalesce(element_at(rates, col(keyCol)), lit(defaultPerMille.toLong)))
-      .filter(col("mix_bucket") < col("mix_rate"))
-      .drop("mix_rate")
+      .filter(col("mix_bucket") < col(rateCol))
+      .drop(rateCol)
   }
 }

@@ -129,17 +129,22 @@ object TextOps {
     * external SQL engine replays it verbatim.
     */
   def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3,
-      minShared: Long = 1, broadcastProbeLimit: Long = 100000): DataFrame = {
+      minShared: Long = 1, broadcastGramLimit: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
     def explodedGrams(df: DataFrame, idCol: String) = df
       .withColumn("words", split(col("text"), " "))
       .select(col(idCol), explode(expr(gramsSql(n))).as("gram"))
-    // size-guarded broadcast (same pattern as the manifest reader): a
-    // probe set past the limit would blow the broadcast, so it degrades
-    // to a plain shuffle join on gram instead of failing
+    // size-guarded broadcast (same pattern as the manifest reader),
+    // bounding the EXPLODED gram rows — the relation actually broadcast —
+    // not the probe doc count (90k long docs under a doc bound could still
+    // explode to hundreds of millions of gram rows). Past the limit the
+    // join degrades to a plain shuffle on gram instead of failing. The
+    // persist makes the sizing count and the join share one evaluation of
+    // the probe pipeline; its footprint is eval-set-sized and lives until
+    // the session drops the reference.
     val pg = explodedGrams(probes, "probe_id")
-    val probeSide =
-      if (probes.count() <= broadcastProbeLimit) broadcast(pg) else pg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeSide = if (pg.count() <= broadcastGramLimit) broadcast(pg) else pg
     explodedGrams(docs, "doc_id")
       .join(probeSide, Seq("gram"))
       .groupBy("doc_id", "probe_id")

@@ -344,6 +344,12 @@ object EncodePipeline {
 
     phase("resume_join")
     if (verbose) { encoded.count(); phase("encode_materialize") }
+    // failure-safe cache cleanup: the slim/manifest persists happen inside
+    // the try; without these refs a throw between persist and totals would
+    // strand their blocks for the session's lifetime (runAll/streaming/
+    // bench sessions run many pipelines)
+    var slimRef: DataFrame = null
+    var manifestRef: DataFrame = null
     try {
       encoded
         .withColumn("part_stub", partStub(cfg))
@@ -374,6 +380,7 @@ object EncodePipeline {
           min("enc_ns").as("g_min_ns"),
           max("enc_ns").as("g_max_ns"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      slimRef = slim
       val perCodec = slim
         .groupBy("part_key", "source", "salt", "bin", "run_id", "codec")
         .agg(sum("g_docs").as("c_docs"), sum("g_tokens").as("c_tokens"),
@@ -402,6 +409,7 @@ object EncodePipeline {
           .cast("long").as("wall_ms"))
       val manifest = manifestBase.join(wallPerKey, Seq("part_key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      manifestRef = manifest
 
       manifest
         .select(ManifestSink.ManifestSchemaCols.map(col): _*)
@@ -413,8 +421,6 @@ object EncodePipeline {
         count(lit(1)), coalesce(sum("n_docs"), lit(0L)),
         coalesce(sum("n_tokens"), lit(0L)), coalesce(sum("raw_bytes"), lit(0L)),
         coalesce(sum("encoded_bytes"), lit(0L))).collect()(0)
-      slim.unpersist()
-      manifest.unpersist()
       val nParts = totals.getLong(0)
       val wallMs = (System.nanoTime() - t0) / 1000000
       val priorErrors = ManifestSink.readErrorReports(cfg.outDir).size.toLong
@@ -443,6 +449,8 @@ object EncodePipeline {
     } finally {
       encoded.unpersist()
       plannedParts.unpersist()
+      if (slimRef != null) slimRef.unpersist()
+      if (manifestRef != null) manifestRef.unpersist()
     }
   }
 

@@ -242,7 +242,7 @@ class OpsSpec extends AnyFunSuite {
     // (the planner may still choose one from its own size estimate — the
     // guard only removes the hint that would override it at any size)
     val guarded = TextOps.contamination(corpus, probes, n = 3, minShared = 1,
-      broadcastProbeLimit = 0)
+      broadcastGramLimit = 0)
     assert(!guarded.queryExecution.analyzed.toString.contains("ResolvedHint"))
     val forced = TextOps.contamination(corpus, probes, n = 3, minShared = 1)
     assert(forced.queryExecution.analyzed.toString.contains("ResolvedHint"))

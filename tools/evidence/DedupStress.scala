@@ -10,13 +10,18 @@ object DedupStress {
     // default 50k) + 500-clone boilerplate cluster + N/50 near-dup pairs
     // (doc and its 1-word-dropped twin)
     val nDocs = sys.env.get("SPARK_GRAFT_STRESS_DOCS").map(_.toInt).getOrElse(50000)
+    // id offsets scale with the corpus so twin/clone/base ranges can never
+    // collide (at the historical sizes <=175k the offsets stay 700000 /
+    // 900000, keeping the recorded evidence corpora reproducible)
+    val twinBase = math.max(700000L, 4L * nDocs)
+    val cloneBase = math.max(900000L, 6L * nDocs)
     val base = graft.sources.Tokens.synthetic(spark, nDocs)
       .select(col("doc_id"), concat_ws(" ",
         expr("transform(tokens, x -> CAST(x AS STRING))")).as("text"))
     val boiler = base.filter(col("doc_id") === 123).select(col("text")).collect()(0).getString(0)
-    val clones = spark.range(0, 500).select((col("id") + 900000).as("doc_id"), lit(boiler).as("text"))
+    val clones = spark.range(0, 500).select((col("id") + cloneBase).as("doc_id"), lit(boiler).as("text"))
     val twins = base.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 700000).as("doc_id"),
+      .select((col("doc_id") + twinBase).as("doc_id"),
         expr("concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))").as("text"))
     val docs = base.unionByName(clones).unionByName(twins)
     val t0 = System.nanoTime()
