@@ -50,6 +50,8 @@ object Sampling {
     require(!docs.columns.contains("mix_bucket"),
       "input already has a mix_bucket column (it is this operator's output)")
     val rateCol = "__graft_mix_rate" // internal; prefixed to avoid clobbering
+    require(!docs.columns.contains(rateCol),
+      s"input already has a $rateCol column (this operator's internal name)")
     val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
     docs
       .withColumn("mix_bucket",

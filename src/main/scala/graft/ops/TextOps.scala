@@ -137,14 +137,18 @@ object TextOps {
     // size-guarded broadcast (same pattern as the manifest reader),
     // bounding the EXPLODED gram rows — the relation actually broadcast —
     // not the probe doc count (90k long docs under a doc bound could still
-    // explode to hundreds of millions of gram rows). Past the limit the
-    // join degrades to a plain shuffle on gram instead of failing. The
-    // persist makes the sizing count and the join share one evaluation of
-    // the probe pipeline; its footprint is eval-set-sized and lives until
-    // the session drops the reference.
+    // explode to hundreds of millions of gram rows). The bound is the
+    // per-doc gram-count UPPER bound (words − n + 1 ≥ distinct grams),
+    // computed in one cheap pass over probe word counts: sound for the
+    // guard, and it avoids both a second evaluation of the gram pipeline
+    // and a cache the caller could never unpersist. Past the limit the
+    // join degrades to a plain shuffle on gram instead of failing.
+    val gramBound = probes
+      .select(greatest(lit(1), size(split(col("text"), " ")) - (n - 1))
+        .cast("long").as("g"))
+      .agg(coalesce(sum("g"), lit(0L))).collect()(0).getLong(0)
     val pg = explodedGrams(probes, "probe_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probeSide = if (pg.count() <= broadcastGramLimit) broadcast(pg) else pg
+    val probeSide = if (gramBound <= broadcastGramLimit) broadcast(pg) else pg
     explodedGrams(docs, "doc_id")
       .join(probeSide, Seq("gram"))
       .groupBy("doc_id", "probe_id")

@@ -11,8 +11,10 @@ object DedupStress {
     // (doc and its 1-word-dropped twin)
     val nDocs = sys.env.get("SPARK_GRAFT_STRESS_DOCS").map(_.toInt).getOrElse(50000)
     // id offsets scale with the corpus so twin/clone/base ranges can never
-    // collide (at the historical sizes <=175k the offsets stay 700000 /
-    // 900000, keeping the recorded evidence corpora reproducible)
+    // collide. Historical reproducibility: twinBase stays 700000 below
+    // 175k docs and cloneBase stays 900000 up to 150k docs, so the
+    // recorded 50k and 150k evidence corpora are unchanged; other sizes
+    // get scaled (collision-free) offsets.
     val twinBase = math.max(700000L, 4L * nDocs)
     val cloneBase = math.max(900000L, 6L * nDocs)
     val base = graft.sources.Tokens.synthetic(spark, nDocs)
