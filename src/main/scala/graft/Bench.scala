@@ -223,12 +223,35 @@ object Bench {
     val spark = session(cpus)
 
     // --- full pipeline (window + shuffle + manifest sink) ---
-    val pipeDir = java.nio.file.Files.createTempDirectory("graft-bench-sink").toString
+    // Best-of-N INTERLEAVED with the query passes, the same protection every
+    // other headline number has: the r3 record's single-shot 35.4s (vs five
+    // clean 16.7-17.8s runs) was a throttle-window artifact this measurement
+    // design exists to absorb. Each rep runs the FULL job (fresh tmp sink,
+    // fresh run id) and the sink is deleted after timing, so reps are
+    // identical work and disk stays bounded.
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "2").toInt
+    require(pipeReps >= 1,
+      s"SPARK_GRAFT_BENCH_PIPE_REPS must be >= 1 (got $pipeReps)")
     val pipeTokens = Tokens.synthetic(spark, nDocs / 2,
       numPartitions = spark.sparkContext.defaultParallelism * 2)
-    val (pipeSummary, pipeSecs) = time {
-      EncodePipeline.run(spark, pipeTokens,
-        EncodePipeline.Config(outDir = pipeDir, targetBinTokens = 1L << 20))
+    var pipeSecs = Double.MaxValue
+    var pipeSummary: EncodePipeline.RunSummary = null
+    def runPipeOnce(errors: scala.collection.mutable.LinkedHashSet[String]): Unit = {
+      val pipeDir = java.nio.file.Files.createTempDirectory("graft-bench-sink")
+      try {
+        val (s, secs) = time {
+          EncodePipeline.run(spark, pipeTokens,
+            EncodePipeline.Config(outDir = pipeDir.toString, targetBinTokens = 1L << 20))
+        }
+        if (secs < pipeSecs) { pipeSecs = secs; pipeSummary = s }
+      } catch {
+        case e: Throwable =>
+          errors += "encode_pipeline"
+          System.err.println(s"[bench] encode_pipeline rep failed: ${e.getMessage}")
+      } finally {
+        try org.apache.spark.network.util.JavaUtils.deleteRecursively(pipeDir.toFile)
+        catch { case _: Throwable => () }
+      }
     }
 
     // --- representative operator queries on the sf tables ---
@@ -252,27 +275,41 @@ object Bench {
         "emit a well-formed record claiming every query ran in 0.000s")
     val best = scala.collection.mutable.LinkedHashMap[String, Double](
       benchQueries.map(_ -> Double.MaxValue): _*)
-    for (_ <- 1 to queryReps; name <- benchQueries) {
-      var ok = true
-      val (_, secs) = time {
-        try exhaust(qs(name)(spark, sfDir))
-        catch { case e: Throwable =>
-          ok = false
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // the pipeline reps run between whole query passes (pipe, queries,
+    // pipe, queries, ...), so every headline number shares one interleave
+    // schedule and no single throttle window can own a number
+    val passes = math.max(queryReps, pipeReps)
+    for (rep <- 1 to passes) {
+      if (rep <= pipeReps) runPipeOnce(errors)
+      if (rep <= queryReps) for (name <- benchQueries) {
+        var ok = true
+        val (_, secs) = time {
+          try exhaust(qs(name)(spark, sfDir))
+          catch { case e: Throwable =>
+            ok = false
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
+        // best-of over SUCCESSFUL reps only — a transient failure on one rep
+        // must neither discard a clean later measurement nor inherit an
+        // earlier one's time
+        if (ok && secs < best(name)) best(name) = secs
       }
-      // best-of over SUCCESSFUL reps only — a transient failure on one rep
-      // must neither discard a clean later measurement nor inherit an
-      // earlier one's time
-      if (ok && secs < best(name)) best(name) = secs
     }
-    // errors = queries with ZERO successful reps (transient single-rep
+    // errors = names with ZERO successful reps (transient single-rep
     // failures are noise the best-of absorbs, like the scaling retries)
-    val failedAllReps = errors.filter(best(_) == Double.MaxValue)
+    val failedAllReps = errors.filter {
+      case "encode_pipeline" => pipeSecs == Double.MaxValue
+      case q => best(q) == Double.MaxValue
+    }
     errors.clear(); errors ++= failedAllReps
-    val queryTimes = best.toSeq.map { case (k, v) =>
-      k -> (if (v == Double.MaxValue) 0.0 else v)
+    // a failed-all-reps query is OMITTED from the queries map (it stays in
+    // errors[]) — emitting 0.000 would let a consumer that aggregates
+    // per-query times without consulting errors[] read a total failure as
+    // a fast pass
+    val queryTimes = best.toSeq.collect {
+      case (k, v) if v != Double.MaxValue => k -> v
     }
 
     val outJson = benchJson(queryTimes, errors.toSeq, full, low, sfDir, nTok,
@@ -294,18 +331,24 @@ object Bench {
       spinEff: Double, lowCpus: Int, cpus: Int,
       pipeSummary: EncodePipeline.RunSummary, pipeSecs: Double,
       isolation: String): String = {
-    val qJson = (queryTimes ++ Seq(
-      "encode_throughput" -> full.encSecs,
-      "encode_pipeline" -> pipeSecs))
+    // pipeSummary is null only when every pipeline rep failed (then
+    // "encode_pipeline" is in errors[] and its fields/time are omitted/0)
+    val pipeOk = pipeSummary != null && pipeSecs != Double.MaxValue
+    val qJson = (queryTimes ++
+      Seq("encode_throughput" -> full.encSecs) ++
+      (if (pipeOk) Seq("encode_pipeline" -> pipeSecs) else Seq.empty))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = queryTimes.map(_._2).sum + full.encSecs + pipeSecs
+    val total = queryTimes.map(_._2).sum + full.encSecs +
+      (if (pipeOk) pipeSecs else 0.0)
+    val pipeTps = if (pipeOk) pipeSummary.nTokens / pipeSecs else 0.0
+    val pipeBpt = if (pipeOk) pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens else 0.0
     s"""{"metric":"encode+ops bench (tokens/sec, bytes/token, N->4N scaling)",""" +
       f""""value":$total%.3f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir",""" +
       f""""tokens":$nTok,"tokens_per_sec":${thrFull}%.0f,"bytes_per_token":${encBytes.toDouble / nTok}%.4f,""" +
-      f""""pipeline_tokens_per_sec":${pipeSummary.nTokens / pipeSecs}%.0f,""" +
-      f""""pipeline_bytes_per_token":${pipeSummary.encodedBytes.toDouble / pipeSummary.nTokens}%.4f,""" +
+      f""""pipeline_tokens_per_sec":${pipeTps}%.0f,""" +
+      f""""pipeline_bytes_per_token":${pipeBpt}%.4f,""" +
       f""""scaling":{"cpus_low":$lowCpus,"cpus_full":$cpus,"isolation":"$isolation",""" +
       f""""tokens_per_sec_low":${thrLow}%.0f,""" +
       f""""tokens_per_sec_full":${thrFull}%.0f,"efficiency":$efficiency%.3f,""" +

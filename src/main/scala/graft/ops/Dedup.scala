@@ -309,9 +309,15 @@ object Dedup {
     * singleton clusters (callers left-join + coalesce).
     *
     * Hybrid execution: a deduped edge set of fewer than `driverLimit` rows
-    * (default 2^20 ≈ 16 MB of longs — a bounded, broadcast-sized collect,
-    * NOT an unbounded driver loop) is solved in one pass of driver-side
-    * union-find instead of ~8 rounds × ~6 shuffles of Spark jobs; union
+    * is solved in one pass of driver-side union-find instead of ~8 rounds ×
+    * ~6 shuffles of Spark jobs. The collect is typed — a `Dataset[(Long,
+    * Long)]`, so each edge lands as one specialized Tuple2 (~32 B with
+    * header; primitive long fields), not a GenericRow of boxed Longs —
+    * putting the default 2^20 bound at ~32 MB of driver heap plus ~16 MB
+    * in the parent map. Cost scales linearly (~50 B/edge all-in) when
+    * sizing `driverLimit` upward: 2^24 edges ≈ 800 MB, so keep the bound
+    * within driver memory headroom; everything past it takes the
+    * distributed path anyway. Union
     * by min root makes each root the component minimum, so both paths
     * produce identical labels (spec-asserted on a random graph). This is
     * the production shape: LSH-capped near-dup graphs are orders of
@@ -352,8 +358,11 @@ object Dedup {
         while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      edges.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
+      // typed collect: primitive-field Tuple2s, not boxed GenericRows
+      // (~6× less driver heap per edge — see sizing note above)
+      val longPair = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+      edges.select(col("u"), col("v")).as(longPair).collect().foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

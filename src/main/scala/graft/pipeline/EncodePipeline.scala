@@ -45,7 +45,12 @@ object EncodePipeline {
   /** Engine version recorded in every commit report (reports.rs:9-23
     * embeds cryo_version the same way — reproducibility metadata).
     */
-  val Version: String = "0.3.0"
+  val Version: String = "0.4.0"
+
+  /** Schema of the committed encoded output (the dry-run schema preview —
+    * the reference prints planned schemas under `--dry`, README.md:82-84).
+    */
+  def OutputSchema: org.apache.spark.sql.types.StructType = ManifestSink.DataSchema
 
   final case class Config(
       outDir: String,
@@ -63,6 +68,23 @@ object EncodePipeline {
                                           // shuffle join, not a broadcast
       strictResume: Boolean = true,       // fail-fast if a skipped part_key's
                                           // doc count drifted from the manifest
+      label: String = "",     // K4/K5 user chunk label (reference
+                              // Partition.label / filename __{suffix},
+                              // types/partitions.rs:114-115, files.rs:61-90):
+                              // lands in every part_stub — and therefore in
+                              // every on-disk partition directory name — as a
+                              // trailing "__<label>". Layout-only: part_keys
+                              // (and so resume/skip identity) are unaffected,
+                              // so differently-labeled runs interoperate on
+                              // one sink.
+      dryRun: Boolean = false, // reference --dry (freeze.rs:43-46): plan the
+                               // run — geometry, resume accounting,
+                               // planned/skipped/deferred counts, todo
+                               // doc/token totals — and return the
+                               // RunSummary WITHOUT touching the sink (no
+                               // data, manifest, marker, pin, or error
+                               // files). committed=0, encodedBytes=0 mark
+                               // the summary as a plan, not a result.
       reorgBuffer: Long = 0) {            // F6 batch reorg guard: docs within
                                           // this many doc_ids of the input
                                           // head are DEFERRED (excluded +
@@ -90,6 +112,11 @@ object EncodePipeline {
       require(codecs.contains(parquetCodec),
         s"unknown parquet codec '$parquetCodec' (one of ${codecs.mkString(",")})")
       require(reorgBuffer >= 0, s"reorgBuffer must be >= 0: $reorgBuffer")
+      // same allowlist as Export.SubDir.Custom: the label becomes part of a
+      // directory name, so it must be one clean path-segment fragment
+      require(label.isEmpty ||
+        (label.matches("[A-Za-z0-9._-]+") && label != "." && label != ".."),
+        s"label must be of [A-Za-z0-9._-] (and not '.'/'..'): '$label'")
       this
     }
 
@@ -102,7 +129,7 @@ object EncodePipeline {
         s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
         s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
         s""""broadcast_key_limit":$broadcastKeyLimit,"strict_resume":$strictResume,""" +
-        s""""reorg_buffer":$reorgBuffer}"""
+        s""""label":"${esc(label)}","reorg_buffer":$reorgBuffer}"""
     }
   }
 
@@ -164,8 +191,14 @@ object EncodePipeline {
     * covers. Becomes the on-disk dir name via partitionBy.
     */
   private def partStub(cfg: Config) = {
-    val stub = format_string("salt%03d__bin%08d", col("salt"), col("bin"))
-    if (cfg.partPrefix.nonEmpty) concat_ws("__", lit(cfg.partPrefix), stub) else stub
+    val stub0 = format_string("salt%03d__bin%08d", col("salt"), col("bin"))
+    val stub =
+      if (cfg.partPrefix.nonEmpty) concat_ws("__", lit(cfg.partPrefix), stub0)
+      else stub0
+    // user chunk label (K4/K5): trailing suffix on the stub — and so on the
+    // partition directory name — mirroring the reference's filename
+    // `__{suffix}` (files.rs:61-90). Layout-only; part_key is untouched.
+    if (cfg.label.nonEmpty) concat_ws("__", stub, lit(cfg.label)) else stub
   }
 
   /** Resume anti-join with a size-guarded broadcast: the committed-key set
@@ -193,14 +226,29 @@ object EncodePipeline {
     GraftFunctions.register(spark)
     val t0 = System.nanoTime()
     val runId = f"run-${ManifestSink.committedRunIds(cfg.outDir).size}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // in-flight marker BEFORE any work (reference incomplete_<ts>.json,
+    // reports.rs:41-48): cleared when the attempt reaches a terminal state
+    // (commit marker or error report below), so a marker that survives ==
+    // an attempt killed mid-run (SIGKILL/OOM) whose orphan data — invisible
+    // to readers — is worth garbage-collecting. Dry runs write nothing.
+    if (!cfg.dryRun)
+      ManifestSink.recordInflight(cfg.outDir, runId,
+        s"""{"run_id":"$runId","started_unix_ms":${System.currentTimeMillis},""" +
+          s""""engine_version":"$Version","config":${cfg.reportJson(cfg.saltBuckets)}}""")
     try runGuarded(spark, tokens, cfg, runId, t0)
     catch {
       case e: Throwable =>
         // durable error accounting (reports.rs analog): the failed attempt
-        // is recorded; its data stays invisible (no commit marker)
-        try ManifestSink.recordError(cfg.outDir, runId,
-          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-        catch { case _: Throwable => () }
+        // is recorded; its data stays invisible (no commit marker). The
+        // error report is the attempt's terminal state, superseding the
+        // in-flight marker. A dry run must stay write-free even on failure.
+        if (!cfg.dryRun) {
+          try {
+            ManifestSink.recordError(cfg.outDir, runId,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+            ManifestSink.clearInflight(cfg.outDir, runId)
+          } catch { case _: Throwable => () }
+        }
         throw e
     }
   }
@@ -250,6 +298,13 @@ object EncodePipeline {
     // later runs validate — and auto-salt mode reuses the pin, so input
     // growth can't shift the salt count mid-sink.
     val salts = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
+      case Some(_) if ManifestSink.committedRunIds(cfg.outDir).isEmpty =>
+        // a crash between pin and commit left a pin on a sink with ZERO
+        // visible data — the pin must not brick the empty sink (refusing a
+        // later run's explicit geometry forever). With nothing committed
+        // there is nothing a fresh geometry could desync from, so resolve
+        // from config and overwrite the stale pin at commit time.
+        resolveSalts(tokens, cfg)
       case Some((pinSalts, pinBin)) =>
         if (pinBin != cfg.targetBinTokens)
           throw new IllegalStateException(
@@ -310,6 +365,24 @@ object EncodePipeline {
 
     if (cfg.maxPartitionsPerRun != Int.MaxValue) {
       todoKeys = todoKeys.orderBy("part_key").limit(cfg.maxPartitionsPerRun)
+    }
+
+    if (cfg.dryRun) {
+      // --dry (freeze.rs:43-46): return the full plan accounting — the
+      // same planned/skipped/deferred and todo doc/token totals the real
+      // run would report — computed from the slim plan metadata only. The
+      // heavy arrays are never read, encode never runs, the sink is never
+      // touched (schema preview is the static [[OutputSchema]]).
+      val todoStats = plannedParts
+        .join(todoKeys, Seq("part_key"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum(col("n_tok").cast("long")), lit(0L)))
+        .collect()(0)
+      plannedParts.unpersist()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      return RunSummary(runId, nPlanned, nSkipped, 0L,
+        todoStats.getLong(0), todoStats.getLong(1), todoStats.getLong(1) * 4,
+        0L, wallMs, ManifestSink.readErrorReports(cfg.outDir).size.toLong,
+        nDeferred)
     }
     val todoSide =
       if (math.min(nTodo, cfg.maxPartitionsPerRun.toLong) <= cfg.broadcastKeyLimit)
@@ -430,10 +503,14 @@ object EncodePipeline {
 
       // Pin the plan geometry at COMMIT time, not run start: a first run
       // that fails before committing anything must not permanently pin
-      // salt/bin config on an empty sink (round-2 ADVICE). Re-validate
-      // after pinning — if a concurrent first run with different geometry
-      // won the pin race, this run's data stays invisible (no marker).
-      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
+      // salt/bin config on an empty sink (round-2 ADVICE). If a stale pin
+      // exists on a still-empty sink (crash landed between pin and commit),
+      // overwrite it — rechecked here, not at run start, to keep the
+      // overwrite window minimal. Re-validate after pinning — if a
+      // concurrent first run with different geometry won the pin race,
+      // this run's data stays invisible (no marker).
+      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens,
+        overwrite = ManifestSink.committedRunIds(cfg.outDir).isEmpty)
       ManifestSink.pinnedPlanConfig(cfg.outDir) match {
         case Some((ps, pb)) if ps == salts && pb == cfg.targetBinTokens => ()
         case other => throw new IllegalStateException(
@@ -445,6 +522,10 @@ object EncodePipeline {
       phase("totals_pin")
       // atomic publish — everything above is invisible until this succeeds
       ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
+      // the commit marker is the attempt's terminal state: the in-flight
+      // marker has served its purpose (a crash past this point loses no
+      // observability — the run IS committed)
+      ManifestSink.clearInflight(cfg.outDir, runId)
       summary
     } finally {
       encoded.unpersist()

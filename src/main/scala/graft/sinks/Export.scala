@@ -28,10 +28,16 @@ object Export {
     case object Dataset extends SubDir
     /** Route by namespace — the reference's network prefix (`SubDir::Network`). */
     case object Namespace extends SubDir
-    /** Fixed custom segment (reference `SubDir::Custom(String)`). */
+    /** Fixed custom segment (reference `SubDir::Custom(String)`).
+      * Allowlist-validated: one path segment of `[A-Za-z0-9._-]`, not a
+      * dot-segment. (The previous blocklist — "no leading '/' or '..'" —
+      * was both over-inclusive, rejecting legitimate names like 'v1..v2',
+      * and under-inclusive, passing backslashes and other separators.)
+      */
     final case class Custom(dir: String) extends SubDir {
-      require(dir.nonEmpty && !dir.startsWith("/") && !dir.contains(".."),
-        s"custom subdir must be a relative path segment: '$dir'")
+      require(dir.matches("[A-Za-z0-9._-]+") && dir != "." && dir != "..",
+        s"custom subdir must be one path segment of [A-Za-z0-9._-] " +
+          s"(and not '.'/'..'): '$dir'")
     }
   }
 

@@ -33,6 +33,23 @@ object ManifestSink {
     "part_key", "source", "salt", "bin", "run_id",
     "n_docs", "n_tokens", "raw_bytes", "encoded_bytes", "codec", "wall_ms")
 
+  /** Schema of committed encoded-data rows (also the pipeline's dry-run
+    * schema preview — the reference prints planned schemas under `--dry`,
+    * README.md:82-84). Column order is the order [[readCommitted]] actually
+    * serves: parquet partition discovery appends the partition columns
+    * (source, part_stub) after the file columns.
+    */
+  val DataSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("part_key", StringType), StructField("run_id", StringType),
+      StructField("doc_id", LongType),
+      StructField("salt", IntegerType), StructField("bin", LongType),
+      StructField("n_tok", IntegerType), StructField("codec", StringType),
+      StructField("blob", BinaryType),
+      StructField("source", StringType), StructField("part_stub", StringType)))
+  }
+
   def dataDir(root: String): String = s"$root/data"
   def manifestDir(root: String): String = s"$root/manifest"
   private def commitsDir(root: String): Path = Paths.get(root, "commits")
@@ -113,14 +130,8 @@ object ManifestSink {
     if (!Files.isDirectory(Paths.get(dataDir(root)))) {
       // nothing ever (successfully) written — e.g. every attempt so far
       // errored before its first file landed
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("part_key", StringType), StructField("run_id", StringType),
-        StructField("doc_id", LongType), StructField("source", StringType),
-        StructField("salt", IntegerType), StructField("bin", LongType),
-        StructField("n_tok", IntegerType), StructField("codec", StringType),
-        StructField("blob", BinaryType), StructField("part_stub", StringType)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DataSchema)
     } else {
       val side =
         if (committed.count() <= broadcastKeyLimit) broadcast(committed)
@@ -161,17 +172,31 @@ object ManifestSink {
 
   /** Pin (saltBuckets, targetBinTokens) once per sink root (atomic; a
     * concurrent/crashed first run leaves either nothing or the one value).
+    *
+    * `overwrite = true` replaces an existing pin — callers pass it ONLY
+    * when the sink has zero committed runs (a crash between pin and commit
+    * must not permanently brick an empty sink with dead geometry; with no
+    * visible data there is nothing a re-pin could desync from). The
+    * residual race — two concurrent FIRST runs with different explicit
+    * geometry — is caught by the pipeline's post-pin re-validation: the
+    * loser refuses to commit.
     */
-  def pinPlanConfig(root: String, saltBuckets: Int, targetBinTokens: Long): Unit = {
+  def pinPlanConfig(root: String, saltBuckets: Int, targetBinTokens: Long,
+      overwrite: Boolean = false): Unit = {
     val p = configPath(root)
-    if (Files.exists(p)) return
+    if (!overwrite && Files.exists(p)) return
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"_tmp_plan_config.json")
     Files.write(tmp,
       s"""{"salt_buckets":$saltBuckets,"target_bin_tokens":$targetBinTokens}"""
         .getBytes(StandardCharsets.UTF_8))
-    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    if (overwrite) {
+      Files.move(tmp, p,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    }
   }
 
   /** (saltBuckets, targetBinTokens) pinned at sink creation, if any. */
@@ -184,6 +209,51 @@ object ManifestSink {
       case re(sb, tb) => Some((sb.toInt, tb.toLong))
       case _ => throw new IllegalStateException(s"corrupt plan config at $p: $s")
     }
+  }
+
+  // ---- in-flight run markers (reports.rs:41-48,81-86 analog: cryo writes
+  // `incomplete_<ts>.json` at run START and renames it on success, so a
+  // SIGKILL'd process still leaves a durable trace that a run was
+  // attempted). graft writes `inflight/<runId>.json` before any work and
+  // removes it when the attempt reaches a terminal state (commit marker or
+  // error report) — so the ONLY way a marker survives is a run that died
+  // without either, exactly the orphan-data case an operator wants to see.
+  // Correctness never depends on it (orphan data is invisible regardless);
+  // this is observability. ----
+
+  private def inflightDir(root: String): Path = Paths.get(root, "inflight")
+
+  /** Durably record that a run attempt has started (atomic tmp+rename). */
+  def recordInflight(root: String, runId: String, json: String): Unit = {
+    val dir = inflightDir(root)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s"_tmp_$runId.json")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"$runId.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Remove a run's in-flight marker (attempt reached a terminal state). */
+  def clearInflight(root: String, runId: String): Unit =
+    Files.deleteIfExists(inflightDir(root).resolve(s"$runId.json"))
+
+  /** JSON bodies of markers whose runs never reached a terminal state —
+    * each is an attempt that died (kill/OOM/power) mid-run and may have
+    * left orphan (invisible) data files worth garbage-collecting.
+    */
+  def readInflightMarkers(root: String): Seq[String] = {
+    val dir = inflightDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s = Files.list(dir)
+    try {
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".json") && !n.startsWith("_tmp"))
+          out += new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      }
+    } finally s.close()
+    out.toSeq.sorted
   }
 
   // ---- error accounting (reports.rs:9-127 analog: a run's failure is

@@ -71,6 +71,14 @@ class ExportSpec extends AnyFunSuite {
       subdirs = Seq(SubDir.Custom("archive")))
     assert(d3 == s"$root/archive" && new java.io.File(d3).isDirectory, d3)
     intercept[IllegalArgumentException](SubDir.Custom("/absolute"))
+    // allowlist validation: separators in ANY form rejected, dot-segments
+    // rejected, but legitimate dotted names pass (old blocklist rejected
+    // 'v1..v2' and passed backslashes)
+    intercept[IllegalArgumentException](SubDir.Custom("a\\b"))
+    intercept[IllegalArgumentException](SubDir.Custom("a/b"))
+    intercept[IllegalArgumentException](SubDir.Custom(".."))
+    intercept[IllegalArgumentException](SubDir.Custom("."))
+    assert(SubDir.Custom("v1..v2").dir == "v1..v2")
     // routed tables read back identical
     assert(spark.read.parquet(d2).exceptAll(encoded).count() == 0)
 

@@ -337,4 +337,102 @@ class PipelineSpec extends AnyFunSuite {
     val all = ManifestSink.readCommitted(spark, out)
     assert(all.count() == 200 && all.select("doc_id").distinct().count() == 200)
   }
+
+  test("in-flight marker: written at start, cleared at terminal state, survives a kill (K9)") {
+    val out = freshDir()
+    val good = Tokens.synthetic(spark, 120)
+    // committed run: marker is gone (commit marker IS the terminal state)
+    EncodePipeline.run(spark, good, cfgBase.copy(outDir = out))
+    assert(ManifestSink.readInflightMarkers(out).isEmpty)
+    // errored run: error report supersedes the marker
+    val poisoned = good.withColumn("tokens",
+      when($"doc_id" === 42, expr("CAST(raise_error('poison pill') AS array<int>)"))
+        .otherwise($"tokens"))
+    val out2 = freshDir()
+    intercept[Exception] {
+      EncodePipeline.run(spark, poisoned, cfgBase.copy(outDir = out2))
+    }
+    assert(ManifestSink.readErrorReports(out2).size == 1)
+    assert(ManifestSink.readInflightMarkers(out2).isEmpty)
+    // kill-analog: a run that dies reaching NO terminal state (no commit,
+    // no error report) must leave the marker. Emulated by making the
+    // errors dir unwritable (a file squats on its path), so the error-path
+    // bookkeeping dies exactly like a SIGKILL'd JVM would — silently,
+    // after the marker was written.
+    val out3 = freshDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(out3, "errors"),
+      "squatter".getBytes)
+    intercept[Exception] {
+      EncodePipeline.run(spark, poisoned, cfgBase.copy(outDir = out3))
+    }
+    val markers = ManifestSink.readInflightMarkers(out3)
+    assert(markers.size == 1 && markers.head.contains("run-"), markers)
+    assert(markers.head.contains("started_unix_ms"), markers)
+    // orphan data stays invisible regardless — the marker is observability,
+    // not a correctness mechanism
+    assert(ManifestSink.readCommitted(spark, out3).count() == 0)
+  }
+
+  test("dry run: real plan accounting, zero writes (reference --dry)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 300)
+    val dry = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, dryRun = true, reorgBuffer = 25))
+    // ZERO writes: the sink root is exactly as createTempDirectory left it
+    assert(new java.io.File(out).listFiles().isEmpty,
+      new java.io.File(out).listFiles().mkString(","))
+    assert(ManifestSink.pinnedPlanConfig(out).isEmpty)
+    // the dry summary predicts the real run exactly
+    val real = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, reorgBuffer = 25))
+    assert(dry.planned == real.planned && dry.skipped == real.skipped
+      && dry.deferred == real.deferred && dry.nDocs == real.nDocs
+      && dry.nTokens == real.nTokens && dry.rawBytes == real.rawBytes)
+    assert(dry.committed == 0 && dry.encodedBytes == 0)
+    // schema preview matches what the sink actually serves
+    assert(EncodePipeline.OutputSchema.fieldNames.toSeq ==
+      ManifestSink.readCommitted(spark, out).schema.fieldNames.toSeq)
+    // dry run against the now-committed sink sees everything skipped
+    val dry2 = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, dryRun = true, reorgBuffer = 25))
+    assert(dry2.skipped == real.planned && dry2.nDocs == 0 && dry2.nTokens == 0)
+  }
+
+  test("stale pin on an empty sink never rejects explicit geometry (re-pin)") {
+    val out = freshDir()
+    // crash-between-pin-and-commit analog: a pin exists, zero committed runs
+    ManifestSink.pinPlanConfig(out, 99, 12345L)
+    val s = EncodePipeline.run(spark, Tokens.synthetic(spark, 100),
+      cfgBase.copy(outDir = out, saltBuckets = 8, targetBinTokens = 8192))
+    assert(s.committed == s.planned && s.committed > 0)
+    // the stale pin was overwritten at commit, not obeyed
+    assert(ManifestSink.pinnedPlanConfig(out).contains((8, 8192L)))
+  }
+
+  test("user chunk label lands in partition dirs; layout-only (K4/K5)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 200)
+    EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, maxPartitionsPerRun = 2, label = "wave1"))
+    val dirs1 = new java.io.File(ManifestSink.dataDir(out)).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(dirs1.nonEmpty && dirs1.forall(_.endsWith("__wave1")), dirs1)
+    // labels are layout-only: a differently-labeled resume skips committed
+    // part_keys (identity unchanged) and its new dirs carry the new label
+    val s2 = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, label = "wave2"))
+    assert(s2.skipped == 2)
+    val dirs2 = new java.io.File(ManifestSink.dataDir(out)).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.isDirectory)
+      .map(_.getName).toSeq
+    assert(dirs2.exists(_.endsWith("__wave2")))
+    assert(dirs2.count(_.endsWith("__wave1")) == dirs1.size)
+    // read path is label-agnostic: full corpus, bit-identical roundtrip
+    assert(ManifestSink.readCommitted(spark, out).count() == 200)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    intercept[IllegalArgumentException] {
+      EncodePipeline.Config(outDir = out, label = "a/b").validated
+    }
+  }
 }
