@@ -145,9 +145,84 @@ object OpsQueries {
         (col("est_jaccard") * 32).cast("long").as("n_matching")),
     None) // LSH internals: verified vs exact jaccard in OpsSpec
 
+  /** SimHash near-dup pairs, oracle-checked in the PIGEONHOLE-SOUND regime
+    * (r3 VERDICT item #4): at maxHamming ≤ 3 with 4×16-bit chunks, two
+    * signatures within the threshold MUST agree on at least one chunk
+    * (pigeonhole), and the gate query runs with exhaustive buckets
+    * (maxBucket = Int.MaxValue), so candidate recall is deterministic and
+    * the chunk+recheck result is provably the exact all-pairs hamming ≤ 3
+    * set — which is what the oracle computes directly. The oracle replays
+    * `simhash64` value-exactly in DuckDB: per-word FNV-1a folded in
+    * HUGEINT mod 2^64 (valid because documents are pure ASCII — verified 0
+    * non-ASCII at sf0.01 AND sf0.1; re-check if testdata regenerates),
+    * splitmix finalizer with the 64×64→64 multiplies split 32/32 to stay
+    * inside INT128, per-bit ±1 votes, bit_count(xor) hamming. Third
+    * validity condition: DuckDB string_split ≡ Spark split on ' ' (both
+    * keep empty segments). The capped/approximate path (maxBucket star
+    * candidates, higher hamming) remains OpsSpec-tested; the r3-documented
+    * unsoundness (jac≥80 pairs reach hamming 11) applies to THAT target,
+    * not to a hamming-thresholded pair set.
+    */
   private val dedupSimhash = Q(
-    (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 12),
-    None)
+    (s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3,
+      maxBucket = Int.MaxValue),
+    Some(simhash64OracleSql))
+
+  /** DuckDB replay of [[graft.functions.Simhash64]] + exact hamming ≤ 3
+    * all-pairs (see dedupSimhash's validity conditions). Generated: the
+    * 2^j power table and the split-multiply constants are emitted as
+    * decimal literals (HUGEINT `**` returns DOUBLE and a direct 64×64
+    * multiply overflows INT128).
+    */
+  private lazy val simhash64OracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val R = "4294967296"           // 2^32
+    // splitmix64 constants, unsigned decimal
+    val addC = BigInt("11400714819323198485")  // 0x9e3779b97f4a7c15
+    val mulB = BigInt("13787848793156543929")  // 0xbf58476d1ce4e5b9
+    val mulC = BigInt("10723151780598845931")  // 0x94d049bb133111eb
+    def mulmod(z: String, k: BigInt): String = {
+      val hi = k >> 32; val lo = k & BigInt("4294967295")
+      s"((($z // $R) * $lo + ($z % $R) * $hi) % $R * $R + ($z % $R) * $lo) % $M"
+    }
+    val pows = (0 until 64).map(BigInt(1) << _).mkString("[", ",", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+       |        list_transform(range(1, length(word) + 1),
+       |          i -> CAST(ascii(word[i]) AS HUGEINT))),
+       |      (acc, x) -> ((acc // 256) * 256
+       |        + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+       |        * 1099511628211 % $M) AS h0,
+       |    (h0 + $addC) % $M AS z1,
+       |    xor(z1, z1 // 1073741824) AS z2,
+       |    ${mulmod("z2", mulB)} AS z3,
+       |    xor(z3, z3 // 134217728) AS z4,
+       |    ${mulmod("z4", mulC)} AS z5,
+       |    xor(z5, z5 // 2147483648) AS hv
+       |  FROM w
+       |), pw AS (
+       |  SELECT unnest(range(64)) AS bit, unnest(CAST($pows AS HUGEINT[])) AS p
+       |), v AS (
+       |  SELECT doc_id, pw.bit, pw.p,
+       |    SUM(CASE WHEN (hv // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM h CROSS JOIN pw GROUP BY 1, 2, 3
+       |), s AS (
+       |  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM v GROUP BY 1
+       |), sim AS (
+       |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808
+       |    THEN u - $M ELSE u END AS BIGINT) AS simhash
+       |  FROM s
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
 
   private val dedupEmbed = Q(
     (s, dir) => Dedup.embeddingPairs(embeds(s, dir), threshold = 0.3, planes = 4)

@@ -338,6 +338,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.count() == 200 && all.select("doc_id").distinct().count() == 200)
   }
 
+  test("multi-output fan-out shares one cached input scan (J4)") {
+    import graft.pipeline.MultiOut
+    val root = freshDir()
+    val tokens = Tokens.synthetic(spark, 300)
+    // capture each output's analyzed-with-cache plan: every one must read
+    // the shared InMemoryRelation, not re-run the input scan
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    def cap(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      (df: org.apache.spark.sql.DataFrame) => {
+        val d = f(df); plans += d.queryExecution.withCachedData.toString; d
+      }
+    val outs = Seq(
+      MultiOut.Output("encoded", cap(df =>
+        df.select($"doc_id", expr("encode_auto(tokens)").as("blob")))),
+      MultiOut.Output("stats", cap(df =>
+        df.groupBy($"source").agg(count(lit(1)).as("n")))),
+      MultiOut.Output("vocab", cap(df =>
+        df.select(explode($"tokens").as("token")).distinct())))
+    val res = MultiOut.run(spark, tokens, root, outs)
+    assert(res.map(_.name) == Seq("encoded", "stats", "vocab"))
+    assert(res.forall(_.rows > 0), res)
+    res.foreach(c => assert(new java.io.File(c.dir).isDirectory, c.dir))
+    assert(plans.size == 3)
+    plans.foreach(p => assert(p.contains("InMemoryRelation"), p.take(400)))
+    // the standard fan-out: encoded blobs decode bit-identical, vocab exact
+    val root2 = freshDir()
+    val std = MultiOut.standard(spark, tokens, root2)
+    assert(std.map(_.name) == Seq("encoded", "stats", "vocab"))
+    val enc = spark.read.parquet(s"$root2/encoded")
+      .withColumn("decoded", expr("decode_tokens(blob)"))
+    val bad = tokens.select($"doc_id", $"tokens")
+      .join(enc.select($"doc_id", $"decoded"), Seq("doc_id"), "full_outer")
+      .filter(not($"tokens" <=> $"decoded")).count()
+    assert(bad == 0, s"$bad decode mismatches")
+    val v = spark.read.parquet(s"$root2/vocab")
+    val expect = tokens.select(explode($"tokens").as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    assert(v.exceptAll(expect).count() == 0 && expect.exceptAll(v).count() == 0)
+    intercept[IllegalArgumentException] {
+      MultiOut.run(spark, tokens, root, Seq(
+        MultiOut.Output("a", identity), MultiOut.Output("a", identity)))
+    }
+  }
+
   test("in-flight marker: written at start, cleared at terminal state, survives a kill (K9)") {
     val out = freshDir()
     val good = Tokens.synthetic(spark, 120)
