@@ -139,11 +139,30 @@ object OpsQueries {
         |  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
         |) GROUP BY 1""".stripMargin))
 
+  /** MinHash-LSH pairs, oracle-checked (r4 promotion, same playbook as
+    * dedup_simhash): the gate query runs with EXHAUSTIVE buckets
+    * (maxBucket = Int.MaxValue), so the candidate set is exactly "some
+    * band's 4-lane slice equal" — deterministic given the signatures —
+    * and the oracle recomputes the identical signatures in DuckDB
+    * (per-shingle FNV-1a + per-lane splitmix, the same HUGEINT-mod-2^64
+    * machinery as the simhash oracle) and joins bands on slice equality
+    * directly. est_jaccard*32 is the integer lane-agree count (exact in
+    * double: /32 then *32 is a power-of-two round trip), and the ≥ 0.2
+    * filter is the integer condition n_matching ≥ 7. Validity conditions:
+    * (1) ASCII documents (per-char code points = UTF-8 bytes — same
+    * condition as media_features/dedup_simhash, re-check on testdata
+    * regen); (2) Spark buckets on xxhash64(band slice), the oracle on the
+    * slice itself — equivalent unless xxhash64 collides on unequal
+    * slices, and the pair-set equality was verified exact at sf0.01 AND
+    * sf0.1 (no collision contributes a pair there); (3) the capped
+    * production path (maxBucket=64 star edges) stays OpsSpec-tested.
+    */
   private val dedupMinhash = Q(
-    (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2)
+    (s, dir) => Dedup.minhashPairs(docs(s, dir), minEstJaccard = 0.2,
+        maxBucket = Int.MaxValue)
       .select(col("doc_a"), col("doc_b"),
         (col("est_jaccard") * 32).cast("long").as("n_matching")),
-    None) // LSH internals: verified vs exact jaccard in OpsSpec
+    Some(minhashOracleSql))
 
   /** SimHash near-dup pairs, oracle-checked in the PIGEONHOLE-SOUND regime
     * (r3 VERDICT item #4): at maxHamming ≤ 3 with 4×16-bit chunks, two
@@ -168,41 +187,64 @@ object OpsQueries {
       maxBucket = Int.MaxValue),
     Some(simhash64OracleSql))
 
+  // ---- shared DuckDB replay machinery for the FNV-1a + splitmix kernels
+  // (graft.functions.Simhash64.hash64 / MinhashSignature.compute). All
+  // 64-bit arithmetic runs in HUGEINT mod 2^64; the 64×64→64 multiplies
+  // are split 32/32 because a direct product overflows INT128, and 2^j
+  // powers are emitted as decimal literals (HUGEINT `**` returns DOUBLE,
+  // which loses exactness past 2^53). ----
+
+  private def U64 = "18446744073709551616" // 2^64
+  private def U32 = "4294967296"           // 2^32
+  // splitmix64 constants, unsigned decimal
+  private def SplitmixAdd = BigInt("11400714819323198485") // 0x9e3779b97f4a7c15
+  private def SplitmixB = BigInt("13787848793156543929")   // 0xbf58476d1ce4e5b9
+  private def SplitmixC = BigInt("10723151780598845931")   // 0x94d049bb133111eb
+
+  private def mulmod64(z: String, k: BigInt): String = {
+    val hi = k >> 32; val lo = k & BigInt("4294967295")
+    s"((($z // $U32) * $lo + ($z % $U32) * $hi) % $U32 * $U32 + ($z % $U32) * $lo) % $U64"
+  }
+
+  /** FNV-1a over an ASCII string column → HUGEINT h0 in [0, 2^64). Valid
+    * because per-char code points ARE the UTF-8 bytes for ASCII (the
+    * media_features condition), and xor is confined to the low byte.
+    */
+  private def fnvFoldSql(strCol: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+       |        list_transform(range(1, length($strCol) + 1),
+       |          i -> CAST(ascii($strCol[i]) AS HUGEINT))),
+       |      (acc, x) -> ((acc // 256) * 256
+       |        + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+       |        * 1099511628211 % $U64) AS h0""".stripMargin
+
+  /** The splitmix xor-shift/multiply chain from an already-defined z1
+    * column to the finalized hv (lateral column references).
+    */
+  private def splitmixTailSql: String =
+    s"""xor(z1, z1 // 1073741824) AS z2,
+       |    ${mulmod64("z2", SplitmixB)} AS z3,
+       |    xor(z3, z3 // 134217728) AS z4,
+       |    ${mulmod64("z4", SplitmixC)} AS z5,
+       |    xor(z5, z5 // 2147483648) AS hv""".stripMargin
+
+  /** unsigned HUGEINT in [0,2^64) → signed BIGINT (two's-complement wrap). */
+  private def toSigned64(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $U64 ELSE $u END AS BIGINT)"
+
   /** DuckDB replay of [[graft.functions.Simhash64]] + exact hamming ≤ 3
-    * all-pairs (see dedupSimhash's validity conditions). Generated: the
-    * 2^j power table and the split-multiply constants are emitted as
-    * decimal literals (HUGEINT `**` returns DOUBLE and a direct 64×64
-    * multiply overflows INT128).
+    * all-pairs (see dedupSimhash's validity conditions).
     */
   private lazy val simhash64OracleSql: String = {
-    val M = "18446744073709551616" // 2^64
-    val R = "4294967296"           // 2^32
-    // splitmix64 constants, unsigned decimal
-    val addC = BigInt("11400714819323198485")  // 0x9e3779b97f4a7c15
-    val mulB = BigInt("13787848793156543929")  // 0xbf58476d1ce4e5b9
-    val mulC = BigInt("10723151780598845931")  // 0x94d049bb133111eb
-    def mulmod(z: String, k: BigInt): String = {
-      val hi = k >> 32; val lo = k & BigInt("4294967295")
-      s"((($z // $R) * $lo + ($z % $R) * $hi) % $R * $R + ($z % $R) * $lo) % $M"
-    }
     val pows = (0 until 64).map(BigInt(1) << _).mkString("[", ",", "]")
     s"""WITH w AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
        |), h AS (
        |  SELECT doc_id,
-       |    list_reduce(
-       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
-       |        list_transform(range(1, length(word) + 1),
-       |          i -> CAST(ascii(word[i]) AS HUGEINT))),
-       |      (acc, x) -> ((acc // 256) * 256
-       |        + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
-       |        * 1099511628211 % $M) AS h0,
-       |    (h0 + $addC) % $M AS z1,
-       |    xor(z1, z1 // 1073741824) AS z2,
-       |    ${mulmod("z2", mulB)} AS z3,
-       |    xor(z3, z3 // 134217728) AS z4,
-       |    ${mulmod("z4", mulC)} AS z5,
-       |    xor(z5, z5 // 2147483648) AS hv
+       |    ${fnvFoldSql("word")},
+       |    (h0 + $SplitmixAdd) % $U64 AS z1,
+       |    $splitmixTailSql
        |  FROM w
        |), pw AS (
        |  SELECT unnest(range(64)) AS bit, unnest(CAST($pows AS HUGEINT[])) AS p
@@ -214,8 +256,7 @@ object OpsQueries {
        |  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u
        |  FROM v GROUP BY 1
        |), sim AS (
-       |  SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808
-       |    THEN u - $M ELSE u END AS BIGINT) AS simhash
+       |  SELECT doc_id, ${toSigned64("u")} AS simhash
        |  FROM s
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -223,6 +264,47 @@ object OpsQueries {
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.functions.MinhashSignature]] (k=32) + LSH
+    * banding (8 bands × 4 rows, slice-equality join) + lane-agree count ≥ 7
+    * (≡ est_jaccard ≥ 0.2). See dedupMinhash's validity conditions. The
+    * shingle string is word_i..word_{i+2} each with a trailing space —
+    * exactly the byte stream the kernel folds (word bytes, then the 0x20
+    * separator mix, per word including the last).
+    */
+  private lazy val minhashOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, greatest(1, len(words) - 2)),
+       |    i -> array_to_string(list_transform(words[i + 1 : i + 3], x -> x || ' '), ''))) AS shingle
+       |  FROM w
+       |), h AS (
+       |  SELECT doc_id,
+       |    ${fnvFoldSql("shingle")}
+       |  FROM sh
+       |), lz AS (
+       |  SELECT doc_id, l.lane,
+       |    (h0 + l.lane * CAST($SplitmixAdd AS HUGEINT)) % $U64 AS z1,
+       |    $splitmixTailSql
+       |  FROM h CROSS JOIN (SELECT unnest(range(1, 33)) AS lane) l
+       |), mins AS (
+       |  SELECT doc_id, lane, min(${toSigned64("hv")}) AS sv
+       |  FROM lz GROUP BY 1, 2
+       |), sigt AS (
+       |  SELECT doc_id, list(sv ORDER BY lane) AS mh FROM mins GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, b.bb, mh[b.bb * 4 + 1 : b.bb * 4 + 4] AS bslice
+       |  FROM sigt CROSS JOIN (SELECT unnest(range(8)) AS bb) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bb = b.bb AND a.bslice = b.bslice
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_filter(range(32), i -> x.mh[i + 1] = y.mh[i + 1])) AS BIGINT) AS n_matching
+       |FROM cand c JOIN sigt x ON x.doc_id = c.doc_a JOIN sigt y ON y.doc_id = c.doc_b
+       |WHERE len(list_filter(range(32), i -> x.mh[i + 1] = y.mh[i + 1])) >= 7""".stripMargin
 
   private val dedupEmbed = Q(
     (s, dir) => Dedup.embeddingPairs(embeds(s, dir), threshold = 0.3, planes = 4)
