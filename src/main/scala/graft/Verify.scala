@@ -14,6 +14,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clean slate: a Verify that crashes mid-run (or before the first
+    // query — e.g. an object-init error in the query table) must not
+    // leave a previous dump in place, or the downstream DuckDB compare
+    // would read stale results and report a false green
+    try org.apache.spark.network.util.JavaUtils.deleteRecursively(
+      new java.io.File(outDir))
+    catch { case _: Throwable => () }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
