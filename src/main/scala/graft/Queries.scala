@@ -212,7 +212,10 @@ object Queries {
         sum(length(col("blob")).cast("long")).as("encoded_bytes")),
     None)
 
-  /** Forced-codec size comparison table (rows-only; sizes engine-internal). */
+  /** Forced-codec size comparison table (rows-only: includes FSST, whose
+    * data-dependent symbol table has no closed-form size — the 5
+    * deterministic codecs ARE oracle-checked, in `encoded_sizes_exact`).
+    */
   private val encodedSizes = Q(
     (s, dir) => {
       val base = tokens(s, dir)
@@ -228,6 +231,102 @@ object Queries {
           sum("bytes").as("encoded_bytes"))
     },
     None)
+
+  /** Wire-format byte sizes, oracle-checked (r4): the 5 deterministic
+    * codecs' encoded lengths are closed-form functions of the token
+    * stream — LEB128 varint lengths, zigzag widths, run enumeration (lag
+    * window), frame-of-reference bit widths (`length(bin(x))` =
+    * 64 - nlz), bit-packed payloads at ceil(m·width/8) — and the oracle
+    * recomputes every per-doc size from the shared tokv CTE and aggregates.
+    * This pins the full wire format (Bytes.scala varint/zigzag/bitpack +
+    * each Codec.encodePayload layout) to a cross-engine value identity, on
+    * top of the golden-file byte pins. FSST stays in the rows-only
+    * `encoded_sizes` (its symbol table is data-dependent, not closed-form).
+    * Validated per-doc per-codec (0 mismatches over all 5 codecs at
+    * sf0.01) before aggregation.
+    */
+  private val encodedSizesExact = Q(
+    (s, dir) => {
+      val base = tokens(s, dir)
+      Seq("plain", "rle", "bitpack", "fordelta", "dict").map { c =>
+        base.select(
+          lit(c).as("codec"),
+          col("n_tok").cast("long").as("n_tokens"),
+          length(expr(s"encode_tokens(tokens, '$c')")).cast("long").as("bytes"))
+      }.reduce(_ unionAll _)
+        .groupBy("codec")
+        .agg(
+          sum("n_tokens").as("n_tokens"),
+          sum("bytes").as("encoded_bytes"))
+    },
+    Some(encodedSizesExactSql))
+
+  /** Oracle SQL for [[encodedSizesExact]] — generated: varint-length CASE
+    * chains and zigzag/bit-width expressions emitted as integer-only SQL.
+    */
+  private lazy val encodedSizesExactSql: String = {
+    // LEB128 byte length: max(1, ceil(bits(u)/7)) as a threshold chain
+    def varlen(x: String): String = {
+      val cases = (1 to 9)
+        .map(k => s"WHEN ($x) < ${BigInt(1) << (7 * k)} THEN $k").mkString(" ")
+      s"(CASE $cases ELSE 10 END)"
+    }
+    def zz(v: String): String =
+      s"(CASE WHEN ($v) >= 0 THEN 2 * ($v) ELSE -2 * ($v) - 1 END)"
+    // bitsFor: 0 for 0, else position of the highest set bit (bin() emits
+    // the minimal binary string, so its length IS 64 - nlz)
+    def bits(x: String): String =
+      s"(CASE WHEN ($x) = 0 THEN 0 ELSE length(bin(CAST($x AS BIGINT))) END)"
+    Tokens.duckTokensCte + s"""
+      |, r1 AS (
+      |  SELECT doc_id, i, tok,
+      |    CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+      |      THEN 0 ELSE 1 END AS is_start,
+      |    tok - lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS delta
+      |  FROM tokv
+      |), r2 AS (
+      |  SELECT doc_id, i, tok, delta,
+      |    SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+      |  FROM r1
+      |), runs AS (
+      |  SELECT doc_id, tok, COUNT(*) AS run_len FROM r2 GROUP BY doc_id, run_id, tok
+      |), rle_doc AS (
+      |  SELECT doc_id, SUM(${varlen(zz("tok"))} + ${varlen("run_len")}) AS run_bytes
+      |  FROM runs GROUP BY doc_id
+      |), dict_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_dict, SUM(${varlen(zz("tok"))}) AS dict_bytes
+      |  FROM (SELECT DISTINCT doc_id, tok FROM tokv) GROUP BY doc_id
+      |), stat_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n, MIN(tok) AS mn, MAX(tok) AS mx,
+      |    MIN(delta) AS min_d, MAX(delta) AS max_d,
+      |    MIN(CASE WHEN i = 0 THEN tok END) AS first_tok
+      |  FROM r2 GROUP BY doc_id
+      |), sizes AS (
+      |  SELECT s.doc_id, s.n,
+      |    1 + ${varlen("s.n")} + 4 * s.n AS d_plain,
+      |    1 + ${varlen("s.n")} + r.run_bytes AS d_rle,
+      |    1 + ${varlen("s.n")} + ${varlen(zz("s.mn"))} + 1
+      |      + (s.n * ${bits("s.mx - s.mn")} + 7) // 8 AS d_bitpack,
+      |    1 + ${varlen("s.n")} + ${varlen(zz("s.first_tok"))} + ${varlen(zz("s.min_d"))} + 1
+      |      + ((s.n - 1) * ${bits("s.max_d - s.min_d")} + 7) // 8 AS d_fordelta,
+      |    1 + ${varlen("s.n")} + ${varlen("d.n_dict")} + d.dict_bytes + 1
+      |      + (s.n * ${bits("d.n_dict - 1")} + 7) // 8 AS d_dict
+      |  FROM stat_doc s JOIN rle_doc r USING (doc_id) JOIN dict_doc d USING (doc_id)
+      |), tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(d_plain) AS BIGINT) AS b_plain,
+      |    CAST(SUM(d_rle) AS BIGINT) AS b_rle,
+      |    CAST(SUM(d_bitpack) AS BIGINT) AS b_bitpack,
+      |    CAST(SUM(d_fordelta) AS BIGINT) AS b_fordelta,
+      |    CAST(SUM(d_dict) AS BIGINT) AS b_dict
+      |  FROM sizes
+      |)
+      |SELECT 'plain' AS codec, n_tokens, b_plain AS encoded_bytes FROM tot
+      |UNION ALL SELECT 'rle', n_tokens, b_rle FROM tot
+      |UNION ALL SELECT 'bitpack', n_tokens, b_bitpack FROM tot
+      |UNION ALL SELECT 'fordelta', n_tokens, b_fordelta FROM tot
+      |UNION ALL SELECT 'dict', n_tokens, b_dict FROM tot""".stripMargin
+  }
 
   /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
     * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
@@ -517,6 +616,7 @@ object Queries {
     "roundtrip_identity" -> roundtripIdentity,
     "codec_auto" -> codecAuto,
     "encoded_sizes" -> encodedSizes,
+    "encoded_sizes_exact" -> encodedSizesExact,
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,
