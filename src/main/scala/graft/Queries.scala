@@ -244,6 +244,15 @@ object Queries {
     * `encoded_sizes` (its symbol table is data-dependent, not closed-form).
     * Validated per-doc per-codec (0 mismatches over all 5 codecs at
     * sf0.01) before aggregation.
+    *
+    * VALIDITY CONDITION (re-check if testdata regenerates): the oracle
+    * assumes n_tok ≥ 2 everywhere — Tokens.nTokSql's minimum is 16.
+    * A doc with n_tok = 1 has all-NULL deltas, so the SQL's fordelta size
+    * would go NULL (silently dropped from SUM) while the kernel encodes
+    * tag+varint(n)+zigzag(first); a doc with n_tok = 0 has no tokv rows
+    * at all and every codec sum would miss its 2 header bytes. Those
+    * branches are exercised in CodecSpec/golden files, just not
+    * SQL-replayed here.
     */
   private val encodedSizesExact = Q(
     (s, dir) => {

@@ -311,13 +311,14 @@ object Dedup {
     * Hybrid execution: a deduped edge set of fewer than `driverLimit` rows
     * is solved in one pass of driver-side union-find instead of ~8 rounds ×
     * ~6 shuffles of Spark jobs. The collect is typed — a `Dataset[(Long,
-    * Long)]`, so each edge lands as one specialized Tuple2 (~32 B with
-    * header; primitive long fields), not a GenericRow of boxed Longs —
-    * putting the default 2^20 bound at ~32 MB of driver heap plus ~16 MB
-    * in the parent map. Cost scales linearly (~50 B/edge all-in) when
-    * sizing `driverLimit` upward: 2^24 edges ≈ 800 MB, so keep the bound
-    * within driver memory headroom; everything past it takes the
-    * distributed path anyway. Union
+    * Long)]` — which drops the GenericRow wrapper, but Spark's tuple
+    * encoder constructs GENERIC Tuple2s via reflection (boxed Longs, not
+    * the Tuple2$mcJJ$sp specialization), so budget ~80 B per collected
+    * edge transiently, plus ~50 B/entry retained in the parent map: the
+    * default 2^20 bound peaks around ~130 MB of driver heap, and cost
+    * scales linearly when sizing `driverLimit` upward — 2^24 edges ≈
+    * 2 GB peak, so keep the bound well inside driver headroom; everything
+    * past it takes the distributed path anyway. Union
     * by min root makes each root the component minimum, so both paths
     * produce identical labels (spec-asserted on a random graph). This is
     * the production shape: LSH-capped near-dup graphs are orders of

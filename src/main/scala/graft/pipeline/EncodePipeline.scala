@@ -112,11 +112,9 @@ object EncodePipeline {
       require(codecs.contains(parquetCodec),
         s"unknown parquet codec '$parquetCodec' (one of ${codecs.mkString(",")})")
       require(reorgBuffer >= 0, s"reorgBuffer must be >= 0: $reorgBuffer")
-      // same allowlist as Export.SubDir.Custom: the label becomes part of a
-      // directory name, so it must be one clean path-segment fragment
-      require(label.isEmpty ||
-        (label.matches("[A-Za-z0-9._-]+") && label != "." && label != ".."),
-        s"label must be of [A-Za-z0-9._-] (and not '.'/'..'): '$label'")
+      // shared allowlist (graft.util.PathSegment): the label becomes part
+      // of a directory name, so it must be one clean path-segment fragment
+      if (label.nonEmpty) graft.util.PathSegment.validate(label, "label")
       this
     }
 
@@ -298,24 +296,28 @@ object EncodePipeline {
     // later runs validate — and auto-salt mode reuses the pin, so input
     // growth can't shift the salt count mid-sink.
     val salts = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
-      case Some(_) if ManifestSink.committedRunIds(cfg.outDir).isEmpty =>
-        // a crash between pin and commit left a pin on a sink with ZERO
-        // visible data — the pin must not brick the empty sink (refusing a
-        // later run's explicit geometry forever). With nothing committed
-        // there is nothing a fresh geometry could desync from, so resolve
-        // from config and overwrite the stale pin at commit time.
-        resolveSalts(tokens, cfg)
       case Some((pinSalts, pinBin)) =>
+        // hint the remediation when the pin is stale (crash between pin
+        // and commit on a sink with zero visible data): the fix is the
+        // EXPLICIT ManifestSink.clearStalePin — an automatic overwrite
+        // here would be a check-then-act race against a concurrent first
+        // run (two geometries could both commit)
+        def staleHint =
+          if (ManifestSink.committedRunIds(cfg.outDir).isEmpty)
+            " (this sink has no committed runs, so the pin is stale — a " +
+              "prior run crashed between pin and commit; clear it with " +
+              "ManifestSink.clearStalePin and re-run)"
+          else ""
         if (pinBin != cfg.targetBinTokens)
           throw new IllegalStateException(
             s"sink ${cfg.outDir} was created with targetBinTokens=$pinBin; " +
               s"config says ${cfg.targetBinTokens}. Changing bin geometry on " +
               "an existing sink would duplicate committed content — use a " +
-              "fresh outDir.")
+              s"fresh outDir$staleHint.")
         if (cfg.saltBuckets > 0 && cfg.saltBuckets != pinSalts)
           throw new IllegalStateException(
             s"sink ${cfg.outDir} was created with saltBuckets=$pinSalts; " +
-              s"config says ${cfg.saltBuckets}. Use a fresh outDir.")
+              s"config says ${cfg.saltBuckets}. Use a fresh outDir$staleHint.")
         pinSalts
       case None => resolveSalts(tokens, cfg)
     }
@@ -503,14 +505,13 @@ object EncodePipeline {
 
       // Pin the plan geometry at COMMIT time, not run start: a first run
       // that fails before committing anything must not permanently pin
-      // salt/bin config on an empty sink (round-2 ADVICE). If a stale pin
-      // exists on a still-empty sink (crash landed between pin and commit),
-      // overwrite it — rechecked here, not at run start, to keep the
-      // overwrite window minimal. Re-validate after pinning — if a
-      // concurrent first run with different geometry won the pin race,
-      // this run's data stays invisible (no marker).
-      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens,
-        overwrite = ManifestSink.committedRunIds(cfg.outDir).isEmpty)
+      // salt/bin config on an empty sink (round-2 ADVICE). Write-once —
+      // a stale pin is cleared only by the explicit
+      // ManifestSink.clearStalePin (see the salts resolution above).
+      // Re-validate after pinning — if a concurrent first run with
+      // different geometry won the pin race, this run's data stays
+      // invisible (no marker).
+      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
       ManifestSink.pinnedPlanConfig(cfg.outDir) match {
         case Some((ps, pb)) if ps == salts && pb == cfg.targetBinTokens => ()
         case other => throw new IllegalStateException(
@@ -524,8 +525,13 @@ object EncodePipeline {
       ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
       // the commit marker is the attempt's terminal state: the in-flight
       // marker has served its purpose (a crash past this point loses no
-      // observability — the run IS committed)
-      ManifestSink.clearInflight(cfg.outDir, runId)
+      // observability — the run IS committed). Best-effort: the run is
+      // already committed and visible, so an IO error deleting an
+      // observability marker must not fail the run (and must not reach
+      // the error path, which would record a bogus failure report for a
+      // committed run).
+      try ManifestSink.clearInflight(cfg.outDir, runId)
+      catch { case _: Throwable => () }
       summary
     } finally {
       encoded.unpersist()

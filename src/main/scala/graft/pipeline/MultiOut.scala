@@ -42,8 +42,7 @@ object MultiOut {
     require(outputs.nonEmpty, "at least one output required")
     val names = outputs.map(_.name)
     require(names.distinct == names, s"duplicate output names: $names")
-    names.foreach(n => require(n.matches("[A-Za-z0-9._-]+") && n != "." && n != "..",
-      s"output name must be one path segment of [A-Za-z0-9._-]: '$n'"))
+    names.foreach(n => graft.util.PathSegment.validate(n, "output name"))
     GraftFunctions.register(spark)
     val cached = input.persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -28,16 +28,11 @@ object Export {
     case object Dataset extends SubDir
     /** Route by namespace — the reference's network prefix (`SubDir::Network`). */
     case object Namespace extends SubDir
-    /** Fixed custom segment (reference `SubDir::Custom(String)`).
-      * Allowlist-validated: one path segment of `[A-Za-z0-9._-]`, not a
-      * dot-segment. (The previous blocklist — "no leading '/' or '..'" —
-      * was both over-inclusive, rejecting legitimate names like 'v1..v2',
-      * and under-inclusive, passing backslashes and other separators.)
+    /** Fixed custom segment (reference `SubDir::Custom(String)`),
+      * validated by the shared [[graft.util.PathSegment]] allowlist.
       */
     final case class Custom(dir: String) extends SubDir {
-      require(dir.matches("[A-Za-z0-9._-]+") && dir != "." && dir != "..",
-        s"custom subdir must be one path segment of [A-Za-z0-9._-] " +
-          s"(and not '.'/'..'): '$dir'")
+      graft.util.PathSegment.validate(dir, "custom subdir")
     }
   }
 

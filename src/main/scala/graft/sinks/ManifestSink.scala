@@ -170,33 +170,42 @@ object ManifestSink {
 
   private def configPath(root: String): Path = Paths.get(root, "_plan_config.json")
 
-  /** Pin (saltBuckets, targetBinTokens) once per sink root (atomic; a
-    * concurrent/crashed first run leaves either nothing or the one value).
-    *
-    * `overwrite = true` replaces an existing pin — callers pass it ONLY
-    * when the sink has zero committed runs (a crash between pin and commit
-    * must not permanently brick an empty sink with dead geometry; with no
-    * visible data there is nothing a re-pin could desync from). The
-    * residual race — two concurrent FIRST runs with different explicit
-    * geometry — is caught by the pipeline's post-pin re-validation: the
-    * loser refuses to commit.
+  /** Pin (saltBuckets, targetBinTokens) once per sink root (atomic,
+    * write-once: a concurrent/crashed first run leaves either nothing or
+    * the one value — there is deliberately NO overwrite path, because any
+    * automatic "replace the pin while the sink looks empty" decision is a
+    * check-then-act race: a concurrent first run can commit between the
+    * emptiness check and the replace, and the replacing run's post-pin
+    * re-validation would then pass against its OWN pin while two
+    * geometries sit committed. Un-bricking a stale pin is an explicit
+    * operator action — [[clearStalePin]]).
     */
-  def pinPlanConfig(root: String, saltBuckets: Int, targetBinTokens: Long,
-      overwrite: Boolean = false): Unit = {
+  def pinPlanConfig(root: String, saltBuckets: Int, targetBinTokens: Long): Unit = {
     val p = configPath(root)
-    if (!overwrite && Files.exists(p)) return
+    if (Files.exists(p)) return
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"_tmp_plan_config.json")
     Files.write(tmp,
       s"""{"salt_buckets":$saltBuckets,"target_bin_tokens":$targetBinTokens}"""
         .getBytes(StandardCharsets.UTF_8))
-    if (overwrite) {
-      Files.move(tmp, p,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
-    }
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+  }
+
+  /** Remove a pin left by a run that crashed between pin and commit
+    * (round-3 ADVICE: an empty sink must not permanently refuse explicit
+    * geometry). Refuses when the sink holds committed runs — then the pin
+    * is load-bearing resume identity, not stale. Explicitly
+    * operator-invoked, never called from the run path, so the write-once
+    * pin race guarantees stay intact for concurrent runs.
+    */
+  def clearStalePin(root: String): Unit = {
+    val committed = committedRunIds(root)
+    require(committed.isEmpty,
+      s"refusing to clear the plan-geometry pin of $root: ${committed.size} " +
+        "committed run(s) depend on it. Changing geometry on a sink with " +
+        "visible data would duplicate committed content — use a fresh outDir.")
+    Files.deleteIfExists(configPath(root))
   }
 
   /** (saltBuckets, targetBinTokens) pinned at sink creation, if any. */

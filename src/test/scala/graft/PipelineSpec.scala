@@ -442,15 +442,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(dry2.skipped == real.planned && dry2.nDocs == 0 && dry2.nTokens == 0)
   }
 
-  test("stale pin on an empty sink never rejects explicit geometry (re-pin)") {
+  test("stale pin on an empty sink: explicit clearStalePin unbricks it (no racy auto-overwrite)") {
     val out = freshDir()
     // crash-between-pin-and-commit analog: a pin exists, zero committed runs
     ManifestSink.pinPlanConfig(out, 99, 12345L)
+    // the conflicting run still fails fast (an AUTOMATIC overwrite would be
+    // a check-then-act race against a concurrent first run) — but the
+    // error now names the remediation
+    val e = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, Tokens.synthetic(spark, 100),
+        cfgBase.copy(outDir = out, saltBuckets = 8, targetBinTokens = 8192))
+    }
+    assert(e.getMessage.contains("clearStalePin"), e.getMessage)
+    // the explicit operator action clears it; the re-run pins fresh
+    ManifestSink.clearStalePin(out)
     val s = EncodePipeline.run(spark, Tokens.synthetic(spark, 100),
       cfgBase.copy(outDir = out, saltBuckets = 8, targetBinTokens = 8192))
     assert(s.committed == s.planned && s.committed > 0)
-    // the stale pin was overwritten at commit, not obeyed
     assert(ManifestSink.pinnedPlanConfig(out).contains((8, 8192L)))
+    // once runs are committed the pin is load-bearing: clearing refuses
+    intercept[IllegalArgumentException](ManifestSink.clearStalePin(out))
   }
 
   test("user chunk label lands in partition dirs; layout-only (K4/K5)") {
