@@ -15,7 +15,7 @@ object PlanAudit2 {
       val windows = plan.split("\n").count(_.contains("Window"))
       println(s"== $name: exchanges=$exchanges reused=$reused wscg=$codegen windows=$windows smj=${plan.contains("SortMergeJoin")}")
     }
-    Seq("codec_auto_roundtrip", "dedup_verified", "dedup_minhash", "stats_agg", "text_fingerprint").foreach(audit)
+    Seq("codec_auto_roundtrip", "dedup_verified", "dedup_minhash", "dedup_simhash", "encoded_sizes_exact", "stats_agg", "text_fingerprint").foreach(audit)
     spark.stop()
   }
 }
