@@ -265,6 +265,84 @@ object ManifestSink {
     out.toSeq.sorted
   }
 
+  final case class GcReport(
+      dataFilesDeleted: Int,
+      manifestDirsDeleted: Int,
+      markersCleared: Int,
+      tempDirsDeleted: Int)
+
+  /** Garbage-collect the on-disk residue of DEAD run attempts — the
+    * follow-through on the in-flight markers: correctness never needs this
+    * (orphans are invisible to readers), but a sink that survives many
+    * kills accumulates unreachable bytes.
+    *
+    * A run id is dead when it has an error report, or an in-flight marker
+    * older than `olderThanMs`, and no commit marker. The age threshold is
+    * the liveness guard: a RUNNING attempt also has (only) an in-flight
+    * marker, so never call this with a threshold shorter than your longest
+    * plausible run — the default (24 h) is safe for anything this engine
+    * does. Per dead id, deletes its data files (found by a column-pruned
+    * distributed scan of the data set's run_id column — the only way to
+    * map files to runs, since data partitions by (source, part_stub), not
+    * run), its `manifest/run_id=` directory, and its in-flight marker.
+    * Error reports are KEPT — they are the durable failure history behind
+    * `RunSummary.priorFailedAttempts`. Also sweeps committer `_temporary`
+    * directories older than the threshold (a kill mid-write strands one).
+    */
+  def gcOrphans(spark: SparkSession, root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): GcReport = {
+    val now = System.currentTimeMillis
+    val committed = committedRunIds(root).toSet
+    val idRe = """"run_id":"([^"]+)"""".r
+    val tsRe = """"started_unix_ms":(\d+)""".r
+    def idOf(json: String): Option[String] =
+      idRe.findFirstMatchIn(json).map(_.group(1))
+    val erroredIds = readErrorReports(root).flatMap(idOf)
+    val staleInflightIds = readInflightMarkers(root).flatMap { m =>
+      val old = tsRe.findFirstMatchIn(m).map(_.group(1).toLong)
+        .forall(ts => now - ts >= olderThanMs)
+      if (old) idOf(m) else None
+    }
+    val dead = (erroredIds ++ staleInflightIds).toSet -- committed
+    var dataFiles = 0
+    if (dead.nonEmpty && Files.isDirectory(Paths.get(dataDir(root)))) {
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val files = spark.read.parquet(dataDir(root))
+        .filter(col("run_id").isin(dead.toSeq: _*))
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0).stripPrefix("file:"))
+      files.foreach { f => if (Files.deleteIfExists(Paths.get(f))) dataFiles += 1 }
+    }
+    var manifestDirs = 0
+    dead.foreach { id =>
+      val d = Paths.get(manifestDir(root), s"run_id=$id")
+      if (Files.isDirectory(d)) {
+        deleteTree(d); manifestDirs += 1
+      }
+    }
+    var markers = 0
+    dead.foreach { id =>
+      val p = inflightDir(root).resolve(s"$id.json")
+      if (Files.deleteIfExists(p)) markers += 1
+    }
+    var tempDirs = 0
+    Seq(dataDir(root), manifestDir(root)).foreach { d =>
+      val t = Paths.get(d, "_temporary")
+      if (Files.isDirectory(t) &&
+          now - Files.getLastModifiedTime(t).toMillis >= olderThanMs) {
+        deleteTree(t); tempDirs += 1
+      }
+    }
+    GcReport(dataFiles, manifestDirs, markers, tempDirs)
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => Files.deleteIfExists(q))
+    finally s.close()
+  }
+
   // ---- error accounting (reports.rs:9-127 analog: a run's failure is
   // recorded durably, not just thrown; its data stays invisible because
   // the commit marker was never written) ----

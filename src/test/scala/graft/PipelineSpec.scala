@@ -417,6 +417,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(ManifestSink.readCommitted(spark, out3).count() == 0)
   }
 
+  test("gcOrphans deletes dead runs' files, keeps error history, spares live data (K9)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 150)
+    EncodePipeline.run(spark, tokens, cfgBase.copy(outDir = out))
+    val committedRows = ManifestSink.readCommitted(spark, out).count()
+    // forge a killed run: data files landed (the data job committed), but
+    // the attempt died before its commit marker — exactly what a SIGKILL
+    // between data write and publish leaves behind
+    val deadId = "run-99999-deadbeef"
+    ManifestSink.readCommitted(spark, out).limit(5)
+      .withColumn("run_id", lit(deadId))
+      .select("part_key", "run_id", "doc_id", "salt", "bin", "n_tok",
+        "codec", "blob", "source", "part_stub")
+      .write.mode("append").partitionBy("source", "part_stub")
+      .parquet(ManifestSink.dataDir(out))
+    ManifestSink.recordInflight(out, deadId,
+      s"""{"run_id":"$deadId","started_unix_ms":0}""")
+    // plus an errored attempt (no files — its write job aborted)
+    val poisoned = tokens.withColumn("tokens",
+      when($"doc_id" === 3, expr("CAST(raise_error('poison pill') AS array<int>)"))
+        .otherwise($"tokens"))
+    intercept[Exception] {
+      EncodePipeline.run(spark, poisoned, cfgBase.copy(outDir = out, partPrefix = "w2"))
+    }
+    // orphans on disk, invisible to readers
+    val rawRows = spark.read.parquet(ManifestSink.dataDir(out)).count()
+    assert(rawRows == committedRows + 5)
+    assert(ManifestSink.readCommitted(spark, out).count() == committedRows)
+    val gc = ManifestSink.gcOrphans(spark, out, olderThanMs = 0)
+    assert(gc.dataFilesDeleted >= 1, gc)
+    assert(gc.markersCleared == 1, gc)
+    // dead bytes gone; committed data and its roundtrip untouched
+    assert(spark.read.parquet(ManifestSink.dataDir(out)).count() == committedRows)
+    assert(ManifestSink.readCommitted(spark, out).count() == committedRows)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // error reports are durable failure history — GC keeps them
+    assert(ManifestSink.readErrorReports(out).nonEmpty)
+    assert(ManifestSink.readInflightMarkers(out).isEmpty)
+    // a LIVE attempt (fresh marker) is never collected at the default age
+    ManifestSink.recordInflight(out, "run-00042-live",
+      s"""{"run_id":"run-00042-live","started_unix_ms":${System.currentTimeMillis}}""")
+    val gc2 = ManifestSink.gcOrphans(spark, out)
+    assert(gc2.markersCleared == 0 && gc2.dataFilesDeleted == 0, gc2)
+    assert(ManifestSink.readInflightMarkers(out).size == 1)
+    ManifestSink.clearInflight(out, "run-00042-live")
+  }
+
   test("dry run: real plan accounting, zero writes (reference --dry)") {
     val out = freshDir()
     val tokens = Tokens.synthetic(spark, 300)
