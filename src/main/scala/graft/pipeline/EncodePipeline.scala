@@ -525,13 +525,15 @@ object EncodePipeline {
       ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
       // the commit marker is the attempt's terminal state: the in-flight
       // marker has served its purpose (a crash past this point loses no
-      // observability — the run IS committed). Best-effort: the run is
-      // already committed and visible, so an IO error deleting an
-      // observability marker must not fail the run (and must not reach
-      // the error path, which would record a bogus failure report for a
-      // committed run).
+      // observability — the run IS committed). Best-effort (NonFatal only
+      // — VM errors and interrupts still propagate): the run is already
+      // committed and visible, so an IO error deleting an observability
+      // marker must not fail the run (and must not reach the error path,
+      // which would record a bogus failure report for a committed run).
+      // If the delete does fail, the marker's run_id is committed, and
+      // gcOrphans reaps exactly that leftover case.
       try ManifestSink.clearInflight(cfg.outDir, runId)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       summary
     } finally {
       encoded.unpersist()

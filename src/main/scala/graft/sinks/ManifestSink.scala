@@ -136,7 +136,9 @@ object ManifestSink {
       val side =
         if (committed.count() <= broadcastKeyLimit) broadcast(committed)
         else committed.hint("SHUFFLE_HASH")
-      spark.read.parquet(dataDir(root))
+      // explicit schema: a dataDir whose files were all garbage-collected
+      // (dirs remain) must read as empty, not fail schema inference
+      spark.read.schema(DataSchema).parquet(dataDir(root))
         .join(side, Seq("part_key", "run_id"), "left_semi")
     }
   }
@@ -184,7 +186,12 @@ object ManifestSink {
     val p = configPath(root)
     if (Files.exists(p)) return
     Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s"_tmp_plan_config.json")
+    // per-caller tmp name: a SHARED tmp would let two concurrent first
+    // runs clobber each other's staged bytes and surface the pin race as
+    // an uncaught NoSuchFileException instead of the handled
+    // FileAlreadyExistsException
+    val tmp = p.resolveSibling(
+      s"_tmp_plan_config_${java.util.UUID.randomUUID.toString.take(8)}.json")
     Files.write(tmp,
       s"""{"salt_buckets":$saltBuckets,"target_bin_tokens":$targetBinTokens}"""
         .getBytes(StandardCharsets.UTF_8))
@@ -198,6 +205,13 @@ object ManifestSink {
     * is load-bearing resume identity, not stale. Explicitly
     * operator-invoked, never called from the run path, so the write-once
     * pin race guarantees stay intact for concurrent runs.
+    *
+    * QUIESCENCE REQUIREMENT: call this only while no encode run is in
+    * flight against the sink. The emptiness check and the delete are not
+    * atomic — a concurrent first run could commit in between, and its
+    * now-load-bearing pin would be removed. The post-delete re-check
+    * below narrows that window to a loud error instead of silence, but
+    * cannot close it; this is an admin tool, like [[gcOrphans]].
     */
   def clearStalePin(root: String): Unit = {
     val committed = committedRunIds(root)
@@ -206,6 +220,14 @@ object ManifestSink {
         "committed run(s) depend on it. Changing geometry on a sink with " +
         "visible data would duplicate committed content — use a fresh outDir.")
     Files.deleteIfExists(configPath(root))
+    val after = committedRunIds(root)
+    if (after.nonEmpty)
+      throw new IllegalStateException(
+        s"a run committed to $root concurrently with clearStalePin — its " +
+          "geometry pin was just removed while becoming load-bearing. " +
+          "Re-pin it from that run's commit report config BEFORE running " +
+          "anything else against this sink (clearStalePin requires sink " +
+          "quiescence).")
   }
 
   /** (saltBuckets, targetBinTokens) pinned at sink creation, if any. */
@@ -298,20 +320,44 @@ object ManifestSink {
     def idOf(json: String): Option[String] =
       idRe.findFirstMatchIn(json).map(_.group(1))
     val erroredIds = readErrorReports(root).flatMap(idOf)
-    val staleInflightIds = readInflightMarkers(root).flatMap { m =>
+    val inflight = readInflightMarkers(root)
+    val staleInflightIds = inflight.flatMap { m =>
+      // fail-safe direction: a marker whose timestamp is missing or
+      // unparsable is treated as NOT old (never collected) — the
+      // alternative would garbage-collect a possibly-LIVE attempt
       val old = tsRe.findFirstMatchIn(m).map(_.group(1).toLong)
-        .forall(ts => now - ts >= olderThanMs)
+        .exists(ts => now - ts >= olderThanMs)
       if (old) idOf(m) else None
     }
     val dead = (erroredIds ++ staleInflightIds).toSet -- committed
     var dataFiles = 0
     if (dead.nonEmpty && Files.isDirectory(Paths.get(dataDir(root)))) {
-      import org.apache.spark.sql.functions.{col, input_file_name}
-      val files = spark.read.parquet(dataDir(root))
-        .filter(col("run_id").isin(dead.toSeq: _*))
-        .select(input_file_name()).distinct().collect()
-        .map(_.getString(0).stripPrefix("file:"))
-      files.foreach { f => if (Files.deleteIfExists(Paths.get(f))) dataFiles += 1 }
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+      // explicit schema: no inference, so a dataDir holding only
+      // _temporary residue (or nothing — GC is idempotent and the dead
+      // set never shrinks, error reports being permanent) reads as empty
+      // instead of throwing
+      val df0 = spark.read.schema(DataSchema).parquet(dataDir(root))
+      // same size guard as committedManifest: the errored-id set grows
+      // without bound over a sink's lifetime, and an In-literal over
+      // thousands of ids is a plan-size killer
+      val deadSeq = dead.toSeq.sorted
+      val matched =
+        if (deadSeq.size <= IsinRunLimit) df0.filter(col("run_id").isin(deadSeq: _*))
+        else {
+          import spark.implicits._
+          df0.join(broadcast(deadSeq.toDF("run_id")), Seq("run_id"), "left_semi")
+        }
+      val files = matched.select(input_file_name()).distinct().collect()
+        .map(_.getString(0))
+      files.foreach { f =>
+        // Spark 4's input_file_name returns a URI form (URL-encoded);
+        // decode through java.net.URI so escapable path chars resolve
+        val p =
+          try java.nio.file.Paths.get(new java.net.URI(f))
+          catch { case _: Exception => Paths.get(f.stripPrefix("file:")) }
+        if (Files.deleteIfExists(p)) dataFiles += 1
+      }
     }
     var manifestDirs = 0
     dead.foreach { id =>
@@ -324,6 +370,14 @@ object ManifestSink {
     dead.foreach { id =>
       val p = inflightDir(root).resolve(s"$id.json")
       if (Files.deleteIfExists(p)) markers += 1
+    }
+    // a marker whose run_id IS committed is leftover from a failed
+    // best-effort clear after a successful commit — terminal state
+    // exists, so reap it here (the `dead` set excludes committed ids and
+    // would never reach it)
+    inflight.flatMap(idOf).filter(committed).foreach { id =>
+      if (Files.deleteIfExists(inflightDir(root).resolve(s"$id.json")))
+        markers += 1
     }
     var tempDirs = 0
     Seq(dataDir(root), manifestDir(root)).foreach { d =>

@@ -462,6 +462,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(gc2.markersCleared == 0 && gc2.dataFilesDeleted == 0, gc2)
     assert(ManifestSink.readInflightMarkers(out).size == 1)
     ManifestSink.clearInflight(out, "run-00042-live")
+    // fail-safe timestamp parsing: a marker with no parsable
+    // started_unix_ms is treated as NOT old — never collected
+    ManifestSink.recordInflight(out, "run-00077-nots",
+      """{"run_id":"run-00077-nots"}""")
+    ManifestSink.gcOrphans(spark, out, olderThanMs = 0)
+    assert(ManifestSink.readInflightMarkers(out).exists(_.contains("run-00077-nots")))
+    ManifestSink.clearInflight(out, "run-00077-nots")
+    // a leftover marker for a COMMITTED run (a failed best-effort clear
+    // after commit) IS reaped — its terminal state exists
+    val committedId = ManifestSink.committedRunIds(out).head
+    ManifestSink.recordInflight(out, committedId,
+      s"""{"run_id":"$committedId","started_unix_ms":0}""")
+    val gc4 = ManifestSink.gcOrphans(spark, out, olderThanMs = 0)
+    assert(gc4.markersCleared == 1, gc4)
+    assert(ManifestSink.readInflightMarkers(out).isEmpty)
   }
 
   test("dry run: real plan accounting, zero writes (reference --dry)") {
