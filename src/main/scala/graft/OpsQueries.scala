@@ -306,10 +306,30 @@ object OpsQueries {
        |FROM cand c JOIN sigt x ON x.doc_id = c.doc_a JOIN sigt y ON y.doc_id = c.doc_b
        |WHERE len(list_filter(range(32), i -> x.mh[i + 1] = y.mh[i + 1])) >= 7""".stripMargin
 
+  /** Embedding near-dup pairs, oracle-checked (r4, third promotion on the
+    * exhaustive-parameter playbook): planes = 0 puts every vector in one
+    * bucket with no cap, so the candidate set is all pairs and the result
+    * is exactly { (a,b) : cosine ≥ 0.3 } — which DuckDB computes directly
+    * (double-cast cosine). Output is ids only; no float column crosses
+    * the engine boundary. Validity condition (re-check if testdata
+    * regenerates): the two engines evaluate cosine with different
+    * operation order (Spark normalize-then-dot in double vs DuckDB
+    * dot-over-norms), so a pair within fp error of the 0.3 threshold
+    * could flip sets — the nearest pair sits |cos−0.3| = 6.9e-5 away at
+    * sf0.01 and 6.6e-7 at sf0.1, orders of magnitude beyond the ~1e-14
+    * double-accumulation divergence, and the pair sets were verified
+    * exactly equal at both scales (990 and 14922 pairs). The LSH
+    * production path (planes=4, capped buckets) stays OpsSpec-tested
+    * (subset-of-exact + recall).
+    */
   private val dedupEmbed = Q(
-    (s, dir) => Dedup.embeddingPairs(embeds(s, dir), threshold = 0.3, planes = 4)
+    (s, dir) => Dedup.embeddingPairs(embeds(s, dir), threshold = 0.3,
+        planes = 0, tables = 1, maxBucket = Int.MaxValue)
       .select(col("vec_a"), col("vec_b")),
-    None) // LSH recall vs the exact pair set asserted in OpsSpec
+    Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |  CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin))
 
   private val annBrute = Q(
     (s, dir) => {
