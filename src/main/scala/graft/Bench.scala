@@ -101,7 +101,27 @@ object Bench {
   }
 
   /** One scaling-level measurement: (nTok, encodedBytes, encodeSecs, spinSecs). */
-  private final case class LevelSample(nTok: Long, bytes: Long, encSecs: Double, spinSecs: Double)
+  private[graft] final case class LevelSample(nTok: Long, bytes: Long, encSecs: Double, spinSecs: Double)
+
+  /** Driver-contract bookkeeping, extracted pure for BenchSpec: keep the
+    * best-of times of queries with ≥1 successful rep; a name that failed
+    * EVERY rep (best still at MaxValue; for "encode_pipeline", pipeSecs)
+    * is OMITTED from the queries map and reported ONLY in errors[] —
+    * emitting 0.000 would let a consumer that aggregates per-query times
+    * without consulting errors[] read a total failure as a fast pass,
+    * while a transient single-rep failure is noise the best-of absorbs.
+    */
+  private[graft] def finalizeQueryTimes(
+      best: Seq[(String, Double)], attempted: Seq[String],
+      pipeSecs: Double): (Seq[(String, Double)], Seq[String]) = {
+    val bestMap = best.toMap
+    val failedAllReps = attempted.filter {
+      case "encode_pipeline" => pipeSecs == Double.MaxValue
+      case q => bestMap.getOrElse(q, Double.MaxValue) == Double.MaxValue
+    }
+    val times = best.collect { case (k, v) if v != Double.MaxValue => k -> v }
+    (times, failedAllReps)
+  }
 
   /** CPU mask for a level: a STRIDED sample of the whole die rather than a
     * contiguous prefix — on a shared VM a noisy neighbor tends to sit on a
@@ -297,20 +317,9 @@ object Bench {
         if (ok && secs < best(name)) best(name) = secs
       }
     }
-    // errors = names with ZERO successful reps (transient single-rep
-    // failures are noise the best-of absorbs, like the scaling retries)
-    val failedAllReps = errors.filter {
-      case "encode_pipeline" => pipeSecs == Double.MaxValue
-      case q => best(q) == Double.MaxValue
-    }
-    errors.clear(); errors ++= failedAllReps
-    // a failed-all-reps query is OMITTED from the queries map (it stays in
-    // errors[]) — emitting 0.000 would let a consumer that aggregates
-    // per-query times without consulting errors[] read a total failure as
-    // a fast pass
-    val queryTimes = best.toSeq.collect {
-      case (k, v) if v != Double.MaxValue => k -> v
-    }
+    val (queryTimes, finalErrors) =
+      Bench.finalizeQueryTimes(best.toSeq, errors.toSeq, pipeSecs)
+    errors.clear(); errors ++= finalErrors
 
     val outJson = benchJson(queryTimes, errors.toSeq, full, low, sfDir, nTok,
       encBytes, thrLow, thrFull, efficiency, spinEff, lowCpus, cpus,
@@ -325,7 +334,7 @@ object Bench {
     spark.stop()
   }
 
-  private def benchJson(queryTimes: Seq[(String, Double)], errors: Seq[String],
+  private[graft] def benchJson(queryTimes: Seq[(String, Double)], errors: Seq[String],
       full: LevelSample, low: LevelSample, sfDir: String, nTok: Long,
       encBytes: Long, thrLow: Double, thrFull: Double, efficiency: Double,
       spinEff: Double, lowCpus: Int, cpus: Int,
