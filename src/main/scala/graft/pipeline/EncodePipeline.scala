@@ -77,6 +77,15 @@ object EncodePipeline {
                               // (and so resume/skip identity) are unaffected,
                               // so differently-labeled runs interoperate on
                               // one sink.
+      sortColumns: Seq[String] = Seq("doc_id"), // K4 per-file sort order
+                               // (the reference sorts every output file by
+                               // the dataset schema's sort columns,
+                               // types/dataframes/sort.rs:9-18). Rows within
+                               // each partition directory's files are
+                               // ordered by these columns; the partition
+                               // identity columns (source, part_stub) always
+                               // lead the sort so files stay contiguous per
+                               // directory regardless of the user order.
       dryRun: Boolean = false, // reference --dry (freeze.rs:43-46): plan the
                                // run — geometry, resume accounting,
                                // planned/skipped/deferred counts, todo
@@ -115,6 +124,10 @@ object EncodePipeline {
       // shared allowlist (graft.util.PathSegment): the label becomes part
       // of a directory name, so it must be one clean path-segment fragment
       if (label.nonEmpty) graft.util.PathSegment.validate(label, "label")
+      val sortable = Set("doc_id", "n_tok", "codec", "salt", "bin", "part_key")
+      require(sortColumns.nonEmpty && sortColumns.forall(sortable.contains),
+        s"sortColumns must be non-empty and drawn from ${sortable.mkString(",")}: " +
+          s"$sortColumns")
       this
     }
 
@@ -127,7 +140,9 @@ object EncodePipeline {
         s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
         s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
         s""""broadcast_key_limit":$broadcastKeyLimit,"strict_resume":$strictResume,""" +
-        s""""label":"${esc(label)}","reorg_buffer":$reorgBuffer}"""
+        s""""label":"${esc(label)}",""" +
+        s""""sort_columns":[${sortColumns.map(c => "\"" + esc(c) + "\"").mkString(",")}],""" +
+        s""""reorg_buffer":$reorgBuffer}"""
     }
   }
 
@@ -432,8 +447,9 @@ object EncodePipeline {
           "n_tok", "codec", "blob", "part_stub")
         // per-file sort (the reference sorts every output file by the
         // schema's sort columns, types/dataframes/sort.rs:9-18): rows
-        // within each partition directory's files are doc_id-ordered
-        .sortWithinPartitions("source", "part_stub", "doc_id")
+        // within each partition directory's files follow cfg.sortColumns
+        // (default doc_id), behind the partition identity columns
+        .sortWithinPartitions("source", ("part_stub" +: cfg.sortColumns): _*)
         .write.mode("append").partitionBy("source", "part_stub")
         .option("compression", cfg.parquetCodec)
         .parquet(ManifestSink.dataDir(cfg.outDir))

@@ -127,6 +127,23 @@ class PipelineSpec extends AnyFunSuite {
       val ids = rows.map(_.getLong(1)).toSeq
       assert(ids == ids.sorted, s"unsorted file: ${ids.take(5)}")
     }
+    // K4: user-configurable sort columns (reference sorts by the schema's
+    // sort columns — sort.rs:9-18): files ordered by (n_tok, doc_id)
+    val outC = freshDir()
+    EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = outC, sortColumns = Seq("n_tok", "doc_id")))
+    val perFileC = spark.read.parquet(ManifestSink.dataDir(outC))
+      .select(input_file_name().as("f"), col("n_tok"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+    perFileC.foreach { rows =>
+      val keys = rows.map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(keys == keys.sorted, s"unsorted by (n_tok, doc_id): ${keys.take(5)}")
+    }
+    // sort is layout-only: same content, roundtrip intact
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, outC) == 0)
+    intercept[IllegalArgumentException] {
+      EncodePipeline.Config(outDir = outC, sortColumns = Seq("blob")).validated
+    }
   }
 
   test("error accounting: a failed run is durably recorded; data invisible; retry clean") {
