@@ -527,6 +527,23 @@ object OpsQueries {
     * (self-hits excluded). Exact set arithmetic, replayed verbatim by the
     * oracle.
     */
+  /** Deterministic train/val/test split ([[Sampling.split]]): 90/5/5 by
+    * the doc_id mixing bucket — permanent assignments (appended docs land
+    * in bands without moving anyone). The oracle replays the same
+    * overflow-free bucket arithmetic as corpus_mix plus the band CASE.
+    */
+  private val corpusSplit = Q(
+    (s, dir) => Sampling.split(docs(s, dir),
+        Seq("train" -> 900, "val" -> 950, "test" -> 1000))
+      .select(col("doc_id"), col("lang"), col("mix_bucket"), col("split")),
+    Some("""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket,
+           |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (
+           |  SELECT doc_id, lang,
+           |    ((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000 AS b
+           |  FROM documents)""".stripMargin))
+
   private val decontaminate = Q(
     (s, dir) => {
       val d = docs(s, dir)
@@ -570,6 +587,7 @@ object OpsQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_keepers" -> dedupKeepers,
     "corpus_mix" -> corpusMix,
+    "corpus_split" -> corpusSplit,
     "decontaminate" -> decontaminate,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,

@@ -337,6 +337,38 @@ object Queries {
       |UNION ALL SELECT 'dict', n_tokens, b_dict FROM tot""".stripMargin
   }
 
+  /** Context-window chunking ([[graft.ops.Chunking]]), oracle-checked on
+    * CONTENT: each window row carries the position-weighted checksum of
+    * its actual token slice, which the oracle recomputes from the
+    * exploded tokv stream with chunk-local weights — so window geometry
+    * (count, starts, lengths) AND the tokens inside every window are
+    * value-exact across engines. maxTokens=512, overlap=64 → stride 448.
+    */
+  private val chunkTokens = {
+    val max = 512; val overlap = 64; val stride = max - overlap
+    Q(
+      (s, dir) => graft.ops.Chunking.chunkTokens(tokens(s, dir), max, overlap),
+      Some(s"""${Tokens.duckTokensCte}
+             |, nch AS (
+             |  SELECT doc_id, source, n_tok,
+             |    CASE WHEN n_tok <= $max THEN 1
+             |         ELSE (n_tok - $max + $stride - 1) // $stride + 1 END AS n_chunks
+             |  FROM base
+             |), ch AS (
+             |  SELECT doc_id, source, n_tok, unnest(range(0, n_chunks)) AS chunk_id
+             |  FROM nch
+             |)
+             |SELECT c.doc_id, c.source, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(c.chunk_id * $stride AS BIGINT) AS chunk_start,
+             |  CAST(least($max, c.n_tok - c.chunk_id * $stride) AS BIGINT) AS chunk_len,
+             |  CAST(sum((t.i - c.chunk_id * $stride + 1) * t.tok)
+             |    % ${Tokens.ChecksumMod} AS BIGINT) AS chunk_sum
+             |FROM ch c JOIN tokv t ON t.doc_id = c.doc_id
+             |  AND t.i >= c.chunk_id * $stride
+             |  AND t.i < c.chunk_id * $stride + $max
+             |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
+  }
+
   /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
     * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
     * types/conversions.rs:55-77) — roundtripped through unhex/unbase64.
@@ -626,6 +658,7 @@ object Queries {
     "codec_auto" -> codecAuto,
     "encoded_sizes" -> encodedSizes,
     "encoded_sizes_exact" -> encodedSizesExact,
+    "chunk_tokens" -> chunkTokens,
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,

@@ -40,6 +40,32 @@ object Sampling {
     * the plan as a literal (no join, stays inside WholeStageCodegen).
     * Adds `mix_bucket` so downstream audits can re-derive the decision.
     */
+  /** Deterministic train/val/test split: every document gets the label of
+    * the first band whose cumulative per-mille bound exceeds its
+    * [[bucket]] — e.g. `Seq("train" -> 900, "val" -> 950, "test" -> 1000)`
+    * is a 90/5/5 split. Same reproducibility contract as [[mixCorpus]]
+    * (hash of the stable doc_id, no RNG, no shuffle, SQL-replayable), and
+    * the same non-negative-doc_id validity condition. A document's split
+    * assignment is PERMANENT across reruns and corpus growth — appended
+    * docs land in bands without moving anyone, the property that keeps
+    * eval sets uncontaminated over a training corpus's lifetime.
+    */
+  def split(docs: DataFrame, bounds: Seq[(String, Int)]): DataFrame = {
+    require(bounds.nonEmpty && bounds.last._2 == 1000,
+      s"split bounds must be cumulative per-mille ending at 1000: $bounds")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted &&
+      bounds.map(_._2).distinct == bounds.map(_._2),
+      s"split bounds must be strictly increasing: $bounds")
+    require(!docs.columns.contains("split") && !docs.columns.contains("mix_bucket"),
+      "input already has a split/mix_bucket column (this operator's output)")
+    val b = when(col("doc_id") >= 0, bucket)
+      .otherwise(raise_error(lit("split requires non-negative doc_id")))
+    val label = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, bound), rest) => when(col("mix_bucket") < bound, name).otherwise(rest)
+    }
+    docs.withColumn("mix_bucket", b).withColumn("split", label)
+  }
+
   def mixCorpus(docs: DataFrame, keyCol: String,
       ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
     require(defaultPerMille >= 0 && defaultPerMille <= 1000,

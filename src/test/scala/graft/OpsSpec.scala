@@ -274,6 +274,86 @@ class OpsSpec extends AnyFunSuite {
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("corpus split: bands replay exactly, assignments permanent under growth") {
+    val bounds = Seq("train" -> 900, "val" -> 950, "test" -> 1000)
+    val got = Sampling.split(docs, bounds)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver replay of the documented bucket arithmetic + band CASE
+    val expected = docs.select("doc_id").collect().map { r =>
+      val id = r.getLong(0)
+      val b = (id % 4294967296L) * 1597334677L % 4294967296L / 65536L % 1000L
+      id -> (if (b < 900) "train" else if (b < 950) "val" else "test")
+    }.toMap
+    assert(got == expected)
+    assert(got.values.toSet == Set("train", "val", "test"))
+    // permanence: a grown corpus never moves an existing document's band
+    val half = Sampling.split(docs.filter($"doc_id" % 2 === 0), bounds)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half == expected.filter(_._1 % 2 == 0))
+    // a pure row-local filter: no exchange in the plan
+    assert(!Sampling.split(docs, bounds).queryExecution.executedPlan
+      .toString.contains("Exchange"))
+    // malformed bounds rejected up front
+    intercept[IllegalArgumentException](
+      Sampling.split(docs, Seq("a" -> 500)))          // doesn't end at 1000
+    intercept[IllegalArgumentException](
+      Sampling.split(docs, Seq("a" -> 900, "b" -> 900, "c" -> 1000)))
+    intercept[IllegalArgumentException](
+      Sampling.split(Sampling.split(docs, bounds), bounds)) // already split
+    // negative doc_id is a hard error, not a silent cross-engine mismatch
+    val neg = Seq((-5L, "x")).toDF("doc_id", "lang")
+    intercept[Exception](Sampling.split(neg, bounds).collect())
+  }
+
+  test("context-window chunking: exact tiling and per-window content checksums") {
+    val max = 64; val overlap = 16; val stride = max - overlap
+    val toks = graft.sources.Tokens.synthetic(spark, 150).cache()
+    val got = Chunking.chunkTokens(toks, max, overlap).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // driver replay: slice every doc's ACTUAL token array into windows and
+    // recompute the position-weighted checksum per slice
+    val expected = toks.select("doc_id", "tokens").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val arr = r.getSeq[Int](1)
+      val n = arr.length
+      val nChunks = if (n <= max) 1 else (n - max + stride - 1) / stride + 1
+      (0 until nChunks).map { c =>
+        val start = c * stride
+        val len = math.min(max, n - start)
+        val sum = arr.slice(start, start + len).zipWithIndex
+          .map { case (t, j) => (j + 1L) * t }.sum % 1000000007L
+        (id, c.toLong) -> (start.toLong, len.toLong, sum)
+      }
+    }.toMap
+    assert(got == expected)
+    // tiling invariants: every non-final window is full-length, the final
+    // window ends exactly at n_tok, and no empty window exists
+    val byDoc = got.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    got.foreach { case ((id, c), (start, len, _)) =>
+      assert(len > 0)
+      if (c < byDoc(id)) assert(len == max.toLong)
+    }
+    val nTok = toks.select("doc_id", "n_tok").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, lastC) =>
+      val (start, len, _) = got((id, lastC))
+      assert(start + len == nTok(id).toLong)
+    }
+    // overlap=0 degenerates to an exact partition of the sequence
+    val flat = Chunking.chunkTokens(toks, max, 0)
+      .groupBy("doc_id").agg(sum("chunk_len").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat == nTok.map { case (k, v) => k -> v.toLong })
+    // a row-local explode: no exchange in the plan
+    assert(!Chunking.chunkTokens(toks, max, overlap).queryExecution
+      .executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](Chunking.chunkTokens(toks, 64, 64))
+    intercept[IllegalArgumentException](Chunking.chunkTokens(toks, 0, 0))
+  }
+
   test("connected components: empty and self-pair-only inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
