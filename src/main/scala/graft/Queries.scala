@@ -369,6 +369,33 @@ object Queries {
              |GROUP BY 1, 2, 3, 4, 5""".stripMargin))
   }
 
+  /** Sequence packing ([[graft.ops.Packing]]), oracle-checked on CONTENT:
+    * the oracle rebuilds every shard's concatenated token stream with
+    * `row_number` over the exploded tokv rows and re-derives each block's
+    * fill, doc count and block-position-weighted checksum — so block
+    * geometry AND the exact position of every token inside every block
+    * are value-identical across engines. cap=2048, 8 shards.
+    */
+  private val packTokens = {
+    val cap = 2048; val nShards = 8
+    Q(
+      (s, dir) => graft.ops.Packing.packTokens(tokens(s, dir), cap, nShards),
+      Some(s"""${Tokens.duckTokensCte}
+             |, pos AS (
+             |  SELECT doc_id % $nShards AS shard, doc_id, tok,
+             |    row_number() OVER (PARTITION BY doc_id % $nShards
+             |                       ORDER BY doc_id, i) - 1 AS pos
+             |  FROM tokv
+             |)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(pos // $cap AS BIGINT) AS pack_id,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS pack_fill,
+             |  CAST(sum((pos % $cap + 1) * tok) % ${Tokens.ChecksumMod} AS BIGINT)
+             |    AS pack_sum
+             |FROM pos GROUP BY 1, 2""".stripMargin))
+  }
+
   /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
     * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
     * types/conversions.rs:55-77) — roundtripped through unhex/unbase64.
@@ -659,6 +686,7 @@ object Queries {
     "encoded_sizes" -> encodedSizes,
     "encoded_sizes_exact" -> encodedSizesExact,
     "chunk_tokens" -> chunkTokens,
+    "pack_tokens" -> packTokens,
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,

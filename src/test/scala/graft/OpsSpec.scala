@@ -354,6 +354,46 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunking.chunkTokens(toks, 0, 0))
   }
 
+  test("sequence packing: concat-and-chop replays exactly, non-final blocks full") {
+    val cap = 128; val nShards = 4
+    val toks = graft.sources.Tokens.synthetic(spark, 120).cache()
+    val got = Packing.packTokens(toks, cap, nShards).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // driver replay: concatenate each shard's streams in doc_id order,
+    // chop into cap-sized blocks, recompute fill/doc-count/weighted sum
+    val byShard = toks.select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .groupBy(_._1 % nShards).view.mapValues(_.sortBy(_._1)).toMap
+    val expected = byShard.flatMap { case (shard, docs) =>
+      val stream = docs.flatMap { case (id, arr) => arr.map(t => (id, t)) }
+      stream.zipWithIndex.groupBy(_._2 / cap).map { case (block, part) =>
+        val sum = part.map { case ((_, t), pos) => (pos % cap + 1L) * t }
+          .sum % 1000000007L
+        (shard, block.toLong) ->
+          (part.map(_._1._1).distinct.size.toLong, part.size.toLong, sum)
+      }
+    }
+    assert(got == expected)
+    // conservation + fullness: every non-final block per shard is exactly
+    // full, and fills sum to the shard's token total
+    val lastBlock = got.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    got.foreach { case ((shard, b), (_, fill, _)) =>
+      if (b < lastBlock(shard)) assert(fill == cap.toLong)
+    }
+    val shardTotals = byShard.view.mapValues(_.map(_._2.length.toLong).sum).toMap
+    got.groupBy(_._1._1).foreach { case (shard, blocks) =>
+      assert(blocks.values.map(_._2).sum == shardTotals(shard))
+    }
+    // the heavy array side must rejoin offsets via hash join, never SMJ
+    val plan = Packing.packTokens(toks, cap, nShards)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    intercept[IllegalArgumentException](Packing.packTokens(toks, 0, 4))
+    intercept[IllegalArgumentException](Packing.packTokens(toks, 128, 0))
+  }
+
   test("connected components: empty and self-pair-only inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
