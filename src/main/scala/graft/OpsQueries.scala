@@ -544,6 +544,35 @@ object OpsQueries {
            |    ((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000 AS b
            |  FROM documents)""".stripMargin))
 
+  /** Gopher-style repetition signals ([[TextOps.repetition]], n=2): the
+    * oracle rebuilds the full (non-distinct) bigram stream per doc and
+    * re-derives instance/distinct/top/duplicate counts — value-exact
+    * because both engines split on the single-space convention already
+    * pinned by text_tokens/decontaminate.
+    */
+  private val textRepetition = Q(
+    (s, dir) => TextOps.repetition(docs(s, dir), n = 2),
+    Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_transform(range(0, len(words) - 1),
+           |      i -> words[i + 1] || ' ' || words[i + 2])) AS gram
+           |  FROM w WHERE len(words) >= 2
+           |), pg AS (
+           |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+           |), st AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           |    CAST(count(*) AS BIGINT) AS distinct_grams,
+           |    CAST(max(c) AS BIGINT) AS top_gram_count
+           |  FROM pg GROUP BY 1
+           |)
+           |SELECT doc_id, n_grams, distinct_grams, top_gram_count,
+           |  n_grams - distinct_grams AS dup_grams FROM st
+           |UNION ALL
+           |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |FROM w WHERE len(words) < 2""".stripMargin))
+
   private val decontaminate = Q(
     (s, dir) => {
       val d = docs(s, dir)
@@ -589,6 +618,7 @@ object OpsQueries {
     "corpus_mix" -> corpusMix,
     "corpus_split" -> corpusSplit,
     "decontaminate" -> decontaminate,
+    "text_repetition" -> textRepetition,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

@@ -118,6 +118,38 @@ object TextOps {
        |ELSE array(concat_ws(' ', words)) END)""".stripMargin
   }
 
+  /** Repetition signals (the Gopher-rules family): per-doc duplicate word
+    * n-gram statistics — `n_grams` (total instances), `distinct_grams`,
+    * `top_gram_count` (instances of the most frequent gram — the
+    * most-common-n-gram-fraction numerator) and `dup_grams` (instances
+    * beyond first occurrence — the duplicate-n-gram-fraction numerator).
+    * Counts stay BIGINT; consumers derive the fractions. Docs shorter than
+    * n words emit zeros (no grams to repeat) rather than vanishing.
+    *
+    * Scale shape: explode → two slim aggregations with map-side partial
+    * combine (the per-(doc, gram) counts then the per-doc fold); the
+    * short-doc branch is a row-local filter unioned in — no join anywhere.
+    */
+  def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val withWords = docs.withColumn("words", split(col("text"), " "))
+    val parts = (1 to n).map(j => s"element_at(words, i + $j)").mkString(", ")
+    val stats = withWords.filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(words) - $n), " +
+          s"i -> concat_ws(' ', $parts))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("c").as("top_gram_count"))
+    val shorts = withWords.filter(size(col("words")) < n)
+      .select(col("doc_id"), lit(0L).as("n_grams"),
+        lit(0L).as("distinct_grams"), lit(0L).as("top_gram_count"))
+    stats.unionByName(shorts)
+      .withColumn("dup_grams", col("n_grams") - col("distinct_grams"))
+  }
+
   /** Benchmark DECONTAMINATION: flag corpus docs that share word n-grams
     * with an evaluation set, so they can be dropped before training leaks
     * the benchmark. `probes` is (probe_id, text) — an eval set is small by

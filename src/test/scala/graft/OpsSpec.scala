@@ -394,6 +394,31 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Packing.packTokens(toks, 128, 0))
   }
 
+  test("repetition signals: bigram stats replay exactly, short docs emit zeros") {
+    val got = TextOps.repetition(docs, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val words = r.getString(1).split(" ", -1)
+      val grams = words.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val total = grams.size.toLong
+      val distinct = counts.size.toLong
+      val top = if (counts.isEmpty) 0L else counts.values.max
+      r.getLong(0) -> (total, distinct, top, total - distinct)
+    }.toMap
+    assert(got == expected)
+    assert(got.size == docs.count())
+    // a known repetitive doc: "a b a b a b" → 5 bigrams, 2 distinct,
+    // top "a b" appears 3 times, 3 duplicates
+    val tiny = Seq((1L, "a b a b a b"), (2L, "solo")).toDF("doc_id", "text")
+    val t = TextOps.repetition(tiny).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(t == Map(1L -> (5L, 2L, 3L, 3L), 2L -> (0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException](TextOps.repetition(tiny, n = 0))
+  }
+
   test("connected components: empty and self-pair-only inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
