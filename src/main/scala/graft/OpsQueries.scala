@@ -514,12 +514,11 @@ object OpsQueries {
     (s, dir) => Sampling.mixCorpus(docs(s, dir), "lang",
         Map("en" -> 900, "zh" -> 700), defaultPerMille = 300)
       .select(col("doc_id"), col("lang"), col("mix_bucket")),
-    Some("""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket
-           |FROM (
-           |  SELECT doc_id, lang,
-           |    ((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000 AS b
-           |  FROM documents)
-           |WHERE b < CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 700 ELSE 300 END"""
+    Some(s"""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket
+            |FROM (
+            |  SELECT doc_id, lang, $bucketDuckSql AS b
+            |  FROM documents)
+            |WHERE b < CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 700 ELSE 300 END"""
       .stripMargin))
 
   /** Benchmark decontamination: every 97th doc plays the eval set; corpus
@@ -527,6 +526,36 @@ object OpsQueries {
     * (self-hits excluded). Exact set arithmetic, replayed verbatim by the
     * oracle.
     */
+  private val decontaminate = Q(
+    (s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"), col("text"))
+      TextOps.contamination(d, probes, n = 3, minShared = 2)
+        .filter(col("doc_id") =!= col("probe_id"))
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3 THEN
+           |      list_transform(range(0, len(words) - 2),
+           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
+           |    ELSE [array_to_string(words, ' ')] END)) AS gram
+           |  FROM w
+           |), p AS (
+           |  SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 0
+           |)
+           |SELECT g.doc_id, p.probe_id, COUNT(*) AS shared_grams
+           |FROM g JOIN p ON g.gram = p.gram AND g.doc_id <> p.probe_id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+
+  /** DuckDB replay of [[Sampling.bucketSql]] — ONE string shared by the
+    * corpus_mix and corpus_split oracles so they can never desynchronize
+    * (a `def`, per the init-order invariant on this object's helpers).
+    */
+  private def bucketDuckSql: String =
+    "((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000"
+
   /** Deterministic train/val/test split ([[Sampling.split]]): 90/5/5 by
     * the doc_id mixing bucket — permanent assignments (appended docs land
     * in bands without moving anyone). The oracle replays the same
@@ -536,13 +565,12 @@ object OpsQueries {
     (s, dir) => Sampling.split(docs(s, dir),
         Seq("train" -> 900, "val" -> 950, "test" -> 1000))
       .select(col("doc_id"), col("lang"), col("mix_bucket"), col("split")),
-    Some("""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket,
-           |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
-           |       ELSE 'test' END AS split
-           |FROM (
-           |  SELECT doc_id, lang,
-           |    ((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000 AS b
-           |  FROM documents)""".stripMargin))
+    Some(s"""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket,
+            |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+            |       ELSE 'test' END AS split
+            |FROM (
+            |  SELECT doc_id, lang, $bucketDuckSql AS b
+            |  FROM documents)""".stripMargin))
 
   /** Gopher-style repetition signals ([[TextOps.repetition]], n=2): the
     * oracle rebuilds the full (non-distinct) bigram stream per doc and
@@ -572,29 +600,6 @@ object OpsQueries {
            |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
            |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
            |FROM w WHERE len(words) < 2""".stripMargin))
-
-  private val decontaminate = Q(
-    (s, dir) => {
-      val d = docs(s, dir)
-      val probes = d.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("probe_id"), col("text"))
-      TextOps.contamination(d, probes, n = 3, minShared = 2)
-        .filter(col("doc_id") =!= col("probe_id"))
-    },
-    Some("""WITH w AS (
-           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-           |), g AS (
-           |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) >= 3 THEN
-           |      list_transform(range(0, len(words) - 2),
-           |        i -> words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])
-           |    ELSE [array_to_string(words, ' ')] END)) AS gram
-           |  FROM w
-           |), p AS (
-           |  SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 0
-           |)
-           |SELECT g.doc_id, p.probe_id, COUNT(*) AS shared_grams
-           |FROM g JOIN p ON g.gram = p.gram AND g.doc_id <> p.probe_id
-           |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
 
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")

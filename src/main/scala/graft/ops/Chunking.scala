@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Pure row-local explode (no shuffle, no state): each input row emits
   * its windows from `sequence` + `slice` inside whole-stage codegen, so
   * the operator scales as a map over the corpus. Window count per doc is
-  * 1 when n_tok ≤ maxTokens, else ceil((n_tok - maxTokens) / stride) + 1
-  * — the last window ends exactly at the sequence end (it may be shorter
-  * than maxTokens but is never empty, and no extra window starts inside
-  * the previous window's tail).
+  * 1 when 0 < n_tok ≤ maxTokens, else ceil((n_tok - maxTokens) / stride)
+  * + 1 — the last window ends exactly at the sequence end (it may be
+  * shorter than maxTokens but is never empty, and no extra window starts
+  * inside the previous window's tail). Empty documents (n_tok = 0) emit
+  * no windows at all — same rule as [[Packing]], and the same row the
+  * oracle's inner join against the token stream drops.
   *
   * Output: (doc_id, source, chunk_id, chunk_start, chunk_len, chunk_sum)
   * where chunk_sum is the position-weighted checksum of the window's
@@ -30,6 +32,7 @@ object Chunking {
     graft.functions.GraftFunctions.register(tokens.sparkSession)
     val stride = maxTokens - overlap
     tokens
+      .filter(col("n_tok") > 0)
       .withColumn("n_chunks",
         when(col("n_tok") <= maxTokens, lit(1L)).otherwise(
           ceil((col("n_tok").cast("long") - maxTokens) / lit(stride.toDouble))

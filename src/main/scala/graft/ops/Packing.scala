@@ -58,8 +58,11 @@ object Packing {
       .withColumn("hi", least(col("len"), (col("pack_id") + 1) * cap - col("start_off")))
       .withColumn("q", col("start_off") + col("lo") - col("pack_id") * cap)
       .withColumn("piece", expr("slice(tokens, CAST(lo AS INT) + 1, CAST(hi - lo AS INT))"))
+      // reduce the raw slice sum mod M BEFORE multiplying by q: the raw sum
+      // reaches cap * 2^31, so q * rawSum overflows i64 once cap > 65536
+      // (64k/128k-context packing); q * (M-1) stays safe to q ≈ 2^33
       .withColumn("contrib",
-        expr(s"pmod(q * tokens_sum(piece) + token_checksum(piece), $M)"))
+        expr(s"pmod(q * pmod(tokens_sum(piece), $M) + token_checksum(piece), $M)"))
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("hi") - col("lo")).as("pack_fill"),

@@ -40,6 +40,31 @@ object Sampling {
     * the plan as a literal (no join, stays inside WholeStageCodegen).
     * Adds `mix_bucket` so downstream audits can re-derive the decision.
     */
+  def mixCorpus(docs: DataFrame, keyCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
+    require(defaultPerMille >= 0 && defaultPerMille <= 1000,
+      s"defaultPerMille out of [0, 1000]: $defaultPerMille")
+    ratesPerMille.foreach { case (k, v) =>
+      require(v >= 0 && v <= 1000, s"rate for '$k' out of [0, 1000]: $v")
+    }
+    require(!docs.columns.contains("mix_bucket"),
+      "input already has a mix_bucket column (it is this operator's output)")
+    val rateCol = "__graft_mix_rate" // internal; prefixed to avoid clobbering
+    require(!docs.columns.contains(rateCol),
+      s"input already has a $rateCol column (this operator's internal name)")
+    val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
+    docs
+      .withColumn("mix_bucket",
+        // negative ids would bucket differently across the Spark/DuckDB/JVM
+        // mirrors (pmod vs sign-preserving %) — fail loudly, don't mis-mix
+        when(col("doc_id") >= 0, bucket)
+          .otherwise(raise_error(lit("mixCorpus requires non-negative doc_id"))))
+      .withColumn(rateCol,
+        coalesce(element_at(rates, col(keyCol)), lit(defaultPerMille.toLong)))
+      .filter(col("mix_bucket") < col(rateCol))
+      .drop(rateCol)
+  }
+
   /** Deterministic train/val/test split: every document gets the label of
     * the first band whose cumulative per-mille bound exceeds its
     * [[bucket]] — e.g. `Seq("train" -> 900, "val" -> 950, "test" -> 1000)`
@@ -64,30 +89,5 @@ object Sampling {
       case ((name, bound), rest) => when(col("mix_bucket") < bound, name).otherwise(rest)
     }
     docs.withColumn("mix_bucket", b).withColumn("split", label)
-  }
-
-  def mixCorpus(docs: DataFrame, keyCol: String,
-      ratesPerMille: Map[String, Int], defaultPerMille: Int = 0): DataFrame = {
-    require(defaultPerMille >= 0 && defaultPerMille <= 1000,
-      s"defaultPerMille out of [0, 1000]: $defaultPerMille")
-    ratesPerMille.foreach { case (k, v) =>
-      require(v >= 0 && v <= 1000, s"rate for '$k' out of [0, 1000]: $v")
-    }
-    require(!docs.columns.contains("mix_bucket"),
-      "input already has a mix_bucket column (it is this operator's output)")
-    val rateCol = "__graft_mix_rate" // internal; prefixed to avoid clobbering
-    require(!docs.columns.contains(rateCol),
-      s"input already has a $rateCol column (this operator's internal name)")
-    val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
-    docs
-      .withColumn("mix_bucket",
-        // negative ids would bucket differently across the Spark/DuckDB/JVM
-        // mirrors (pmod vs sign-preserving %) — fail loudly, don't mis-mix
-        when(col("doc_id") >= 0, bucket)
-          .otherwise(raise_error(lit("mixCorpus requires non-negative doc_id"))))
-      .withColumn(rateCol,
-        coalesce(element_at(rates, col(keyCol)), lit(defaultPerMille.toLong)))
-      .filter(col("mix_bucket") < col(rateCol))
-      .drop(rateCol)
   }
 }

@@ -132,7 +132,11 @@ object TextOps {
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
-    val withWords = docs.withColumn("words", split(col("text"), " "))
+    // a NULL text must drop, not read as "short" (legacy size(NULL) = -1
+    // would route it to the zeros branch) — the oracle's len(words)
+    // comparisons are NULL for such docs, so both engines drop them
+    val withWords = docs.filter(col("text").isNotNull)
+      .withColumn("words", split(col("text"), " "))
     val parts = (1 to n).map(j => s"element_at(words, i + $j)").mkString(", ")
     val stats = withWords.filter(size(col("words")) >= n)
       .select(col("doc_id"),

@@ -350,6 +350,11 @@ class OpsSpec extends AnyFunSuite {
     // a row-local explode: no exchange in the plan
     assert(!Chunking.chunkTokens(toks, max, overlap).queryExecution
       .executedPlan.toString.contains("Exchange"))
+    // an empty document emits NO windows (same rule as the oracle's inner
+    // join against the token stream — a zero-length window would diverge)
+    val emptyDoc = Seq((99L, "web", 0, Seq.empty[Int]))
+      .toDF("doc_id", "source", "n_tok", "tokens")
+    assert(Chunking.chunkTokens(emptyDoc, max, overlap).count() == 0)
     intercept[IllegalArgumentException](Chunking.chunkTokens(toks, 64, 64))
     intercept[IllegalArgumentException](Chunking.chunkTokens(toks, 0, 0))
   }
@@ -394,6 +399,26 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Packing.packTokens(toks, 128, 0))
   }
 
+  test("sequence packing: long-context caps survive the i64 overflow regime") {
+    // cap > 65536 with a max-value piece starting ~1M tokens into a block:
+    // q * rawSliceSum ≈ 2.15e19 wraps i64 unless the slice sum is reduced
+    // mod M before the multiply (the kernels' documented contract)
+    val bigCap = 1 << 20
+    val big = Seq(
+      (0L, "web", 1000000, Seq.fill(1000000)(1)),
+      (4L, "web", 10000, Seq.fill(10000)(Int.MaxValue)))
+      .toDF("doc_id", "source", "n_tok", "tokens")
+    val rows = Packing.packTokens(big, bigCap, 4).collect()
+    assert(rows.length == 1) // both docs share shard 0, fit in one block
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (0L, 0L, 2L, 1010000L))
+    val M = BigInt(1000000007L)
+    val expected = ((BigInt(1) to BigInt(1000000)).sum * 1 +
+      (BigInt(1000001) to BigInt(1010000)).sum * Int.MaxValue) % M
+    assert(BigInt(r.getLong(4)) == expected)
+  }
+
   test("repetition signals: bigram stats replay exactly, short docs emit zeros") {
     val got = TextOps.repetition(docs, n = 2).collect()
       .map(r => r.getLong(0) ->
@@ -416,6 +441,12 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(t == Map(1L -> (5L, 2L, 3L, 3L), 2L -> (0L, 0L, 0L, 0L)))
+    // NULL text drops (as in the oracle, where len(words) is NULL in both
+    // branches) — it must not read as a "short" doc via size(NULL) = -1
+    val withNull = Seq((1L, Some("a b")), (2L, None))
+      .toDF("doc_id", "text")
+    assert(TextOps.repetition(withNull).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
     intercept[IllegalArgumentException](TextOps.repetition(tiny, n = 0))
   }
 
