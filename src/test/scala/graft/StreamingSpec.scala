@@ -48,6 +48,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("context-window chunking composes with a stream (stateless, batch-exact)") {
+    // chunking is row-local, so the same operator body runs unchanged on a
+    // streaming DataFrame — the property that lets a crawl be chunked as
+    // it arrives instead of in a nightly batch
+    val in = freshDir()
+    val t = Tokens.synthetic(spark, 200).cache()
+    t.repartition(4).write.mode("overwrite").parquet(in)
+    val streamIn = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = graft.ops.Chunking.chunkTokens(streamIn, 128, 32)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM chunk_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val batch = graft.ops.Chunking.chunkTokens(t, 128, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("custom-state bin-packing carries cumulative counts across micro-batches") {
     import org.apache.spark.sql.expressions.Window
     val in = freshDir()
