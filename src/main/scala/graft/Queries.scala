@@ -396,6 +396,33 @@ object Queries {
              |FROM pos GROUP BY 1, 2""".stripMargin))
   }
 
+  /** Vocabulary truncation + OOV remap ([[graft.ops.Vocab]]), oracle-
+    * checked on CONTENT: the oracle independently rebuilds the top-k
+    * vocabulary (freq DESC, tok ASC — a total order, so the cut and the
+    * ranks are deterministic), remaps the exploded token stream through
+    * it, and replays the position-weighted fold of the REMAPPED ids — so
+    * vocabulary membership, every rank assignment, and every OOV
+    * substitution are value-exact across engines. k=1024.
+    */
+  private val vocabRemap = {
+    val k = 1024
+    Q(
+      (s, dir) => graft.ops.Vocab.remapChecksum(tokens(s, dir), k),
+      Some(s"""${Tokens.duckTokensCte}
+             |, freq AS (SELECT tok, count(*) AS freq FROM tokv GROUP BY 1)
+             |, topk AS (
+             |  SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) - 1 AS rank
+             |  FROM (SELECT * FROM freq ORDER BY freq DESC, tok LIMIT $k)
+             |)
+             |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum((t.i + 1) * coalesce(r.rank, $k))
+             |    % ${Tokens.ChecksumMod} AS BIGINT) AS remap_sum,
+             |  CAST(sum(CASE WHEN r.rank IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov
+             |FROM tokv t LEFT JOIN topk r ON t.tok = r.tok
+             |GROUP BY 1""".stripMargin))
+  }
+
   /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
     * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
     * types/conversions.rs:55-77) — roundtripped through unhex/unbase64.
@@ -687,6 +714,7 @@ object Queries {
     "encoded_sizes_exact" -> encodedSizesExact,
     "chunk_tokens" -> chunkTokens,
     "pack_tokens" -> packTokens,
+    "vocab_remap" -> vocabRemap,
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,

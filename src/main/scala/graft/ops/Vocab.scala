@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vocabulary construction and id remapping — the tokenizer-pipeline step
+  * that keeps the `k` most frequent token ids and remaps everything else
+  * to a single OOV id. Remapping to dense frequency ranks also feeds the
+  * engine's own compression: rank ids are small and Zipf-skewed toward 0,
+  * exactly the distribution FOR/varint packing likes.
+  *
+  * Scale shape: one slim (tok, freq) aggregation shuffle with map-side
+  * combine, then a DISTRIBUTED top-k (orderBy+limit plans as
+  * TakeOrderedAndProject — no single-partition sort of the full vocab,
+  * which at 100 TB can run to billions of distinct ids), then a window
+  * over only the k surviving rows. The remap side broadcasts the k-row
+  * rank table into the exploded token stream and folds per-doc
+  * contributions with map-side partial aggregation.
+  */
+object Vocab {
+
+  /** Top-`k` vocabulary ranked by (freq DESC, tok ASC) — a total order, so
+    * both the membership cut at `k` and the ranks are deterministic and
+    * SQL-replayable. `rank` is 0-based; id `k` is reserved for OOV.
+    */
+  def rankTable(tokens: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"vocab size k must be positive: $k")
+    tokens.select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(k)
+      .withColumn("rank",
+        (row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)) - 1)
+          .cast("long"))
+  }
+
+  /** Remap every document through the top-`k` rank table (misses → OOV id
+    * `k`) and fold the REMAPPED sequence to its position-weighted checksum
+    * plus an OOV count — the content-verifiable form of the remap (an
+    * external engine re-derives the same vocabulary and replays the fold,
+    * proving every token mapped to the right rank at the right position).
+    */
+  def remapChecksum(tokens: DataFrame, k: Int): DataFrame = {
+    val M = graft.sources.Tokens.ChecksumMod
+    val ranks = rankTable(tokens, k).select("tok", "rank")
+    tokens
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("i", "tok")))
+      .join(broadcast(ranks), Seq("tok"), "left")
+      .withColumn("v", coalesce(col("rank"), lit(k.toLong)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        // per-term mod keeps the fold in i64 even for giant docs × giant
+        // k (same overflow class review pass 3 caught in Packing); the
+        // result is congruent wherever the mod lands
+        expr(s"pmod(sum(pmod((CAST(i AS BIGINT) + 1) * v, $M)), $M)").as("remap_sum"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+}

@@ -450,6 +450,36 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextOps.repetition(tiny, n = 0))
   }
 
+  test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
+    val k = 32
+    val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
+    // driver replay: full frequency table → (freq desc, tok asc) cut → ranks
+    val all = toks.select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    val freq = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val expectedRanks = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(k)
+      .zipWithIndex.map { case ((t, f), r) => t -> (f, r.toLong) }.toMap
+    val gotRanks = Vocab.rankTable(toks, k).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotRanks == expectedRanks)
+    // remapped per-doc fold: checksum of rank ids (OOV = k) + OOV count
+    val expected = all.map { case (id, arr) =>
+      val mapped = arr.map(t => expectedRanks.get(t).map(_._2).getOrElse(k.toLong))
+      val sum = mapped.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum % 1000000007L
+      id -> (arr.length.toLong, sum, arr.count(!expectedRanks.contains(_)).toLong)
+    }.toMap
+    val got = Vocab.remapChecksum(toks, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0)) // the cut actually bites on this corpus
+    // plan: rank table joins BROADCAST; the top-k cut must plan as a
+    // distributed TakeOrdered, never a global sort of the whole vocabulary
+    val plan = Vocab.remapChecksum(toks, k).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    intercept[IllegalArgumentException](Vocab.rankTable(toks, 0))
+  }
+
   test("connected components: empty and self-pair-only inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
