@@ -572,6 +572,23 @@ object OpsQueries {
             |  SELECT doc_id, lang, $bucketDuckSql AS b
             |  FROM documents)""".stripMargin))
 
+  /** Deterministic training-order shuffle ([[Sampling.shuffleOrder]],
+    * 4 shards, seed 7): the oracle replays the multiplicative hash and
+    * the per-shard row_number with the identical (key, doc_id) total
+    * order, proving the whole permutation — not just the key values.
+    */
+  private val corpusShuffle = Q(
+    (s, dir) => Sampling.shuffleOrder(docs(s, dir), nShards = 4, seed = 7)
+      .select(col("doc_id"), col("shard"), col("shuffle_key"), col("shuffle_pos")),
+    Some("""SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+           |  CAST(k AS BIGINT) AS shuffle_key,
+           |  CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY k, doc_id)
+           |    - 1 AS BIGINT) AS shuffle_pos
+           |FROM (
+           |  SELECT doc_id,
+           |    ((doc_id + 7) % 4294967296) * 1103515245 % 4294967296 AS k
+           |  FROM documents)""".stripMargin))
+
   /** Gopher-style repetition signals ([[TextOps.repetition]], n=2): the
     * oracle rebuilds the full (non-distinct) bigram stream per doc and
     * re-derives instance/distinct/top/duplicate counts — value-exact
@@ -622,6 +639,7 @@ object OpsQueries {
     "dedup_keepers" -> dedupKeepers,
     "corpus_mix" -> corpusMix,
     "corpus_split" -> corpusSplit,
+    "corpus_shuffle" -> corpusShuffle,
     "decontaminate" -> decontaminate,
     "text_repetition" -> textRepetition,
     "dedup_minhash" -> dedupMinhash,

@@ -90,4 +90,34 @@ object Sampling {
     }
     docs.withColumn("mix_bucket", b).withColumn("split", label)
   }
+
+  /** Deterministic training-order shuffle: each document gets a shard
+    * (`doc_id % nShards`) and a pseudo-random position inside it —
+    * `row_number` over an overflow-free multiplicative hash of
+    * `doc_id + seed` (tie-broken by doc_id, so the permutation is total
+    * and SQL-replayable). Different seeds give different permutations
+    * (per-epoch reshuffling); the same seed replays bit-identically, so a
+    * resumed training run sees the same order. One slim window shuffle
+    * per shard; shards bound the sort so no global total order is ever
+    * materialized — at 100 TB, nShards ≈ executor-count × small constant
+    * and downstream consumers read shards independently.
+    *
+    * Same non-negative-doc_id validity condition as [[bucketSql]] (and
+    * seed must be non-negative and < 2^31 to keep every intermediate in
+    * overflow-free BIGINT on both engines).
+    */
+  def shuffleOrder(docs: DataFrame, nShards: Int, seed: Long = 0L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    require(seed >= 0 && seed < (1L << 31), s"seed must be in [0, 2^31): $seed")
+    val key = expr(
+      s"pmod(pmod(doc_id + $seed, 4294967296) * 1103515245, 4294967296)")
+    val guarded = when(col("doc_id") >= 0, key)
+      .otherwise(raise_error(lit("shuffleOrder requires non-negative doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    docs
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("shuffle_key", guarded.cast("long"))
+      .withColumn("shuffle_pos", (row_number().over(w) - 1).cast("long"))
+  }
 }

@@ -450,6 +450,38 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextOps.repetition(tiny, n = 0))
   }
 
+  test("training-order shuffle: permutation replays exactly, seeds re-shuffle, reruns don't") {
+    val got = Sampling.shuffleOrder(docs, nShards = 4, seed = 7)
+      .select("doc_id", "shard", "shuffle_key", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver replay: hash, shard, then rank within shard by (key, doc_id)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map { id =>
+      id -> (id % 4, (id + 7) % 4294967296L * 1103515245L % 4294967296L)
+    }.groupBy(_._2._1).iterator.flatMap { case (_, xs) =>
+      xs.sortBy { case (id, (_, k)) => (k, id) }.zipWithIndex.map {
+        case ((id, (sh, k)), pos) => id -> (sh, k, pos.toLong)
+      }
+    }.toMap
+    assert(got == expected)
+    // a true permutation: positions are exactly 0..count-1 per shard
+    got.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (0L until rows.size).toSeq)
+    }
+    // same seed replays bit-identically; a different seed reorders
+    val again = Sampling.shuffleOrder(docs, 4, 7)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
+    val epoch2 = Sampling.shuffleOrder(docs, 4, 8)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(epoch2 != again)
+    intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 0, 7))
+    intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 4, -1))
+    intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 4, 1L << 31))
+  }
+
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
     val k = 32
     val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
