@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * that keeps the `k` most frequent token ids and remaps everything else
   * to a single OOV id. Remapping to dense frequency ranks also feeds the
   * engine's own compression: rank ids are small and Zipf-skewed toward 0,
-  * exactly the distribution FOR/varint packing likes.
+  * exactly the distribution FOR/varint packing likes — measured −10.4%
+  * bytes/token on the synthetic corpus under a bijective (zero-OOV)
+  * remap (BASELINE.md "Vocab-remap compression synergy"; corpus-
+  * dependent, since ranking destroys delta structure).
   *
   * Scale shape: one slim (tok, freq) aggregation shuffle with map-side
   * combine, then a DISTRIBUTED top-k (orderBy+limit plans as
