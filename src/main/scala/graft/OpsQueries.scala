@@ -586,7 +586,8 @@ object OpsQueries {
            |    - 1 AS BIGINT) AS shuffle_pos
            |FROM (
            |  SELECT doc_id,
-           |    ((doc_id + 7) % 4294967296) * 1103515245 % 4294967296 AS k
+           |    ((doc_id % 4294967296 + 7) % 4294967296) * 1103515245
+           |      % 4294967296 AS k
            |  FROM documents)""".stripMargin))
 
   /** Gopher-style repetition signals ([[TextOps.repetition]], n=2): the

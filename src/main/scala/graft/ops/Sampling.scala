@@ -97,27 +97,38 @@ object Sampling {
     * `doc_id + seed` (tie-broken by doc_id, so the permutation is total
     * and SQL-replayable). Different seeds give different permutations
     * (per-epoch reshuffling); the same seed replays bit-identically, so a
-    * resumed training run sees the same order. One slim window shuffle
-    * per shard; shards bound the sort so no global total order is ever
-    * materialized — at 100 TB, nShards ≈ executor-count × small constant
-    * and downstream consumers read shards independently.
+    * resumed training run sees the same order. The ranking window runs
+    * over a SLIM (doc_id, shard, shuffle_key) projection and rejoins the
+    * full rows via SHUFFLE_HASH — the document payload never enters a
+    * sort, same pattern as [[Packing]]; shards bound the sort so no
+    * global total order is ever materialized — at 100 TB, nShards ≈
+    * executor-count × small constant and downstream consumers read
+    * shards independently.
     *
-    * Same non-negative-doc_id validity condition as [[bucketSql]] (and
-    * seed must be non-negative and < 2^31 to keep every intermediate in
-    * overflow-free BIGINT on both engines).
+    * Same non-negative-doc_id validity condition as [[bucketSql]]; the
+    * doc_id is reduced mod 2^32 BEFORE the seed is added (as bucketSql
+    * reduces before its multiply) so every intermediate stays in
+    * overflow-free BIGINT on both engines even at doc_id =
+    * Long.MaxValue. seed must be in [0, 2^31).
     */
   def shuffleOrder(docs: DataFrame, nShards: Int, seed: Long = 0L): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     require(seed >= 0 && seed < (1L << 31), s"seed must be in [0, 2^31): $seed")
+    Seq("shard", "shuffle_key", "shuffle_pos").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (this operator's output)")
+    }
     val key = expr(
-      s"pmod(pmod(doc_id + $seed, 4294967296) * 1103515245, 4294967296)")
+      s"pmod(pmod(pmod(doc_id, 4294967296) + $seed, 4294967296) * 1103515245, 4294967296)")
     val guarded = when(col("doc_id") >= 0, key)
       .otherwise(raise_error(lit("shuffleOrder requires non-negative doc_id")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("shuffle_key", "doc_id")
-    docs
-      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .withColumn("shuffle_key", guarded.cast("long"))
+    val slim = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        guarded.cast("long").as("shuffle_key"))
       .withColumn("shuffle_pos", (row_number().over(w) - 1).cast("long"))
+    docs.join(slim.hint("SHUFFLE_HASH"), Seq("doc_id"))
   }
 }

@@ -457,7 +457,7 @@ class OpsSpec extends AnyFunSuite {
     // driver replay: hash, shard, then rank within shard by (key, doc_id)
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val expected = ids.map { id =>
-      id -> (id % 4, (id + 7) % 4294967296L * 1103515245L % 4294967296L)
+      id -> (id % 4, (id % 4294967296L + 7) % 4294967296L * 1103515245L % 4294967296L)
     }.groupBy(_._2._1).iterator.flatMap { case (_, xs) =>
       xs.sortBy { case (id, (_, k)) => (k, id) }.zipWithIndex.map {
         case ((id, (sh, k)), pos) => id -> (sh, k, pos.toLong)
@@ -477,9 +477,17 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "shuffle_pos").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(epoch2 != again)
+    // slim window + SHUFFLE_HASH rejoin: the payload never enters a sort
+    val plan = Sampling.shuffleOrder(docs, 4, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
     intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 0, 7))
     intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 4, -1))
     intercept[IllegalArgumentException](Sampling.shuffleOrder(docs, 4, 1L << 31))
+    // refuses to clobber its own output columns
+    intercept[IllegalArgumentException](
+      Sampling.shuffleOrder(Sampling.shuffleOrder(docs, 4, 7), 4, 8))
   }
 
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
