@@ -619,6 +619,77 @@ object OpsQueries {
            |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
            |FROM w WHERE len(words) < 2""".stripMargin))
 
+  /** Exact duplicate-span detection ([[Dedup.dupSpans]], n=8): the oracle
+    * rebuilds every 8-word window as its gram STRING (each word + trailing
+    * space — byte-identical to what the native shingle_hashes kernel
+    * folds), groups on the string, and flags windows whose gram occurs in
+    * ≥ 2 distinct docs. Spark groups on the kernel's 64-bit FNV fold
+    * instead — equivalent unless distinct grams collide at 64 bits, and
+    * the gate data's hashes are verified collision-free in OpsSpec (plus
+    * the row-set equality here re-checks it end-to-end: a collision would
+    * add rows / inflate n_docs, never hide them). Short-doc rule (one
+    * whole-doc window when len < n) is mirrored by the greatest(1, …)
+    * range bound and DuckDB's clamping slice. ASCII-documents condition as
+    * usual for the byte-fold replays (re-check if testdata regenerates).
+    */
+  private val dedupSpans = Q(
+    (s, dir) => Dedup.dupSpans(docs(s, dir), n = 8, minDocs = 2),
+    Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id,
+           |    unnest(range(0, greatest(1, len(words) - 7))) AS pos,
+           |    unnest(list_transform(range(0, greatest(1, len(words) - 7)),
+           |      i -> array_to_string(list_transform(words[i + 1 : i + 8], x -> x || ' '), ''))) AS gram
+           |  FROM w
+           |), c AS (
+           |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+           |)
+           |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, CAST(c.nd AS BIGINT) AS n_docs
+           |FROM g JOIN c USING (gram) WHERE c.nd >= 2""".stripMargin))
+
+  /** Fractional repeat-factor resampling ([[Sampling.upsample]]): en gets
+    * 2.5 epochs, zh 0.5, everything else 1.0. The oracle replays the
+    * shared bucket arithmetic ([[bucketDuckSql]]) plus the whole-copies +
+    * fractional-copy split, and unnests range(0, n_copies) — so the exact
+    * copy multiset (not just counts) is value-identical. Same
+    * non-negative-doc_id validity condition as corpus_mix/corpus_split.
+    */
+  private val corpusUpsample = Q(
+    (s, dir) => Sampling.upsample(docs(s, dir), "lang",
+        Map("en" -> 2500, "zh" -> 500), defaultPerMille = 1000)
+      .select(col("doc_id"), col("lang"), col("mix_bucket"),
+        col("n_copies"), col("copy_idx")),
+    Some(s"""SELECT doc_id, lang, CAST(b AS BIGINT) AS mix_bucket,
+            |  CAST(nc AS BIGINT) AS n_copies,
+            |  CAST(unnest(range(0, nc)) AS BIGINT) AS copy_idx
+            |FROM (
+            |  SELECT doc_id, lang, b,
+            |    (r // 1000) + CASE WHEN b < r % 1000 THEN 1 ELSE 0 END AS nc
+            |  FROM (SELECT doc_id, lang, $bucketDuckSql AS b,
+            |          CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 500
+            |               ELSE 1000 END AS r
+            |        FROM documents))""".stripMargin))
+
+  /** Pattern redaction ([[TextOps.scrub]]): vowel runs → '_' (the corpus
+    * is pure lowercase letters, so digit/email PII patterns would be
+    * vacuous — the REGEX DIALECT validity condition lives at the op). The
+    * oracle replays the global regexp_replace in DuckDB (RE2 ≡ Java regex
+    * on this character-class subset) and re-derives the position-weighted
+    * fingerprint of the scrubbed text with the same list-fold the
+    * text_fingerprint oracle uses — one mis-replaced character anywhere
+    * diverges scrubbed_fp.
+    */
+  private val textScrub = Q(
+    (s, dir) => TextOps.scrub(docs(s, dir), "[aeiou]{2,}", "_"),
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_redacted,
+           |  CAST(length(s) AS BIGINT) AS scrubbed_len,
+           |  CAST(list_sum(list_transform(range(1, length(s) + 1),
+           |    i -> i * ascii(s[i]))) % 1000000007 AS BIGINT) AS scrubbed_fp
+           |FROM (SELECT doc_id, text, regexp_replace(text, '[aeiou]{2,}', '_', 'g') AS s
+           |      FROM documents)""".stripMargin))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -642,6 +713,9 @@ object OpsQueries {
     "corpus_split" -> corpusSplit,
     "corpus_shuffle" -> corpusShuffle,
     "decontaminate" -> decontaminate,
+    "dedup_spans" -> dedupSpans,
+    "corpus_upsample" -> corpusUpsample,
+    "text_scrub" -> textScrub,
     "text_repetition" -> textRepetition,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,

@@ -69,6 +69,9 @@ object GraftFunctions {
       exprs => Simhash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("sig_agree",
       exprs => SigAgree(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_normalize",

@@ -500,6 +500,78 @@ object MinhashSignature {
   }
 }
 
+/** shingle_hashes(words array<string>, n) -> array<long>: the raw FNV-1a
+  * fold (64-bit wrap) of every n-word window, one hash per window position
+  * — the per-window content key of the exact duplicate-span detector
+  * ([[graft.ops.Dedup.dupSpans]]). Byte-fold convention is EXACTLY
+  * [[MinhashSignature.compute]]'s: each word's UTF-8 bytes then a 0x20
+  * separator mix, separator included after the last word — i.e. the fold
+  * of the string "w1 w2 … wn " — so the DuckDB oracle replays it with the
+  * same HUGEINT machinery the minhash oracle uses. Docs shorter than n
+  * words emit ONE whole-doc window (the [[graft.ops.TextOps.gramsSql]]
+  * degenerate-doc rule). No splitmix finalizer: the hash is a grouping
+  * key, not an LSH input, and the raw fold keeps the SQL replay shallow.
+  * Native because the higher-order formulation (transform over sequence
+  * with a nested aggregate fold) is CodegenFallback and O(n·len) string
+  * building per row.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName window size must be >= 1, got $n")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(words: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      ShingleHashes.compute(words.asInstanceOf[ArrayData], n))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.ShingleHashes.compute($arr, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object ShingleHashes {
+  /** Java-callable kernel (used from generated code). */
+  def compute(words: ArrayData, n: Int): Array[Long] = {
+    val len = words.numElements()
+    val nWindows = math.max(1, len - n + 1)
+    val out = new Array[Long](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      var h = 1469598103934665603L
+      val end = math.min(len, i + n)
+      var w = i
+      while (w < end) {
+        // null elements hash like empty strings (separator only) — same
+        // public-SQL-function guard as MinhashSignature.compute
+        if (!words.isNullAt(w)) {
+          val bytes = words.getUTF8String(w).getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h = (h ^ (bytes(b) & 0xffL)) * 1099511628211L
+            b += 1
+          }
+        }
+        h = (h ^ 0x20L) * 1099511628211L // word separator
+        w += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+}
+
 /** sig_agree(a array<long>, b array<long>) -> int: number of positions
   * where two MinHash signatures agree (the Jaccard estimator's numerator).
   * Native because the zip_with+aggregate formulation is CodegenFallback

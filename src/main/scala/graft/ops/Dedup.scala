@@ -449,6 +449,56 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("cluster_size"))
   }
 
+  /** Exact duplicate-SPAN detection (the exact-substring dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — §3.1's suffix-array duplicate ranges, re-expressed as the
+    * shuffle its semantics actually need): every n-word window whose
+    * content appears in ≥ `minDocs` distinct documents is reported as
+    * (doc_id, pos, n_docs). Document-level near-dup (minhash/simhash)
+    * misses boilerplate REGIONS inside otherwise-distinct docs — license
+    * headers, navigation chrome, templated paragraphs — which is exactly
+    * what span-level detection exists to catch; consumers cut or
+    * down-weight the flagged ranges.
+    *
+    * Scale shape: the native [[graft.functions.ShingleHashes]] kernel
+    * emits one 64-bit content hash per window position shuffle-free, so
+    * only slim (hash, doc_id, pos) triples ever move — and they move
+    * EXACTLY ONCE: the distinct-doc count per hash is `max(dense_rank)`
+    * over two h-partitioned windows (rank by doc_id, then its unbounded
+    * max — the second window rides the first's sort, since (h, doc_id)
+    * ordering prefix-satisfies (h)), so the whole operator is one
+    * exchange + one partition-local sort over a single subtree, with no
+    * self-join and no second evaluation of the kernel (spec-asserted: one
+    * Exchange, no Join). The join formulation (windows ⨝ multi-doc
+    * hashes) costs two evaluations of the explode and two-to-three
+    * shuffles — column pruning under the count-distinct aggregate defeats
+    * exchange reuse. A corpus-wide boilerplate gram lands its whole
+    * bucket in one sort partition; sorts spill, so skew degrades
+    * gradually rather than OOMing (the same skew any exact grouping on
+    * the gram key must absorb).
+    *
+    * Cross-doc equality is on the 64-bit hash, not the gram text: a
+    * collision between distinct grams could over-flag a window (never
+    * under-flag). At 64 bits that needs ~2^32 distinct windows in one
+    * corpus to start mattering (birthday bound); the gate data's hashes
+    * are verified collision-free in OpsSpec and the oracle's row-set
+    * equality re-checks it end-to-end.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val byHashDoc = byHash.orderBy("doc_id")
+    docs.select(col("doc_id"),
+        posexplode(call_function("shingle_hashes", split(col("text"), " "), lit(n)))
+          .as(Seq("pos", "h")))
+      .withColumn("n_docs",
+        max(dense_rank().over(byHashDoc)).over(byHash).cast("long"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_docs"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by
     * random-hyperplane LSH (see [[Ann.hyperplaneBuckets]]) so the pair join
     * never goes quadratic in the corpus.

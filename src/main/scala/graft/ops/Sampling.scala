@@ -65,6 +65,51 @@ object Sampling {
       .drop(rateCol)
   }
 
+  /** Deterministic source UP/DOWN-sampling by fractional repeat factors —
+    * the mixture-weighting step of a training recipe (the sampling-weight
+    * tables of the Llama/Gopher data recipes): each stratum's rate is a
+    * per-mille REPEAT factor, so 2500 means "2.5 epochs of this source"
+    * (every doc twice, a deterministic half of them a third time) and 300
+    * means "keep 30%". Whole copies are unconditional; the fractional
+    * copy goes to docs whose [[bucket]] falls under `rate % 1000` — the
+    * same stable hash as [[mixCorpus]], so the fractional subset is
+    * reproducible, append-stable, and SQL-replayable. Output rows carry
+    * `(mix_bucket, n_copies, copy_idx)` with one row per copy; `copy_idx`
+    * lets downstream epoch assembly interleave copies instead of
+    * clustering them. Row-local explode, no shuffle, no RNG; same
+    * non-negative-doc_id validity condition as [[bucketSql]].
+    */
+  def upsample(docs: DataFrame, keyCol: String,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame = {
+    val maxRate = 1000000 // 1000 copies — past this you want real replication
+    require(defaultPerMille >= 0 && defaultPerMille <= maxRate,
+      s"defaultPerMille out of [0, $maxRate]: $defaultPerMille")
+    ratesPerMille.foreach { case (k, v) =>
+      require(v >= 0 && v <= maxRate, s"rate for '$k' out of [0, $maxRate]: $v")
+    }
+    Seq("mix_bucket", "n_copies", "copy_idx").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (it is this operator's output)")
+    }
+    val rateCol = "__graft_repeat_rate" // internal; prefixed to avoid clobbering
+    require(!docs.columns.contains(rateCol),
+      s"input already has a $rateCol column (this operator's internal name)")
+    val rates = typedLit(ratesPerMille.map { case (k, v) => (k, v.toLong) })
+    docs
+      .withColumn("mix_bucket",
+        when(col("doc_id") >= 0, bucket)
+          .otherwise(raise_error(lit("upsample requires non-negative doc_id"))))
+      .withColumn(rateCol,
+        coalesce(element_at(rates, col(keyCol)), lit(defaultPerMille.toLong)))
+      .withColumn("n_copies",
+        expr(s"$rateCol div 1000") +
+          when(col("mix_bucket") < expr(s"$rateCol % 1000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")))
+      .drop(rateCol)
+  }
+
   /** Deterministic train/val/test split: every document gets the label of
     * the first band whose cumulative per-mille bound exceeds its
     * [[bucket]] — e.g. `Seq("train" -> 900, "val" -> 950, "test" -> 1000)`

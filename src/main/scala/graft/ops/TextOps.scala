@@ -99,6 +99,36 @@ object TextOps {
         (col("reason") === "kept").cast("long").as("kept"), col("reason"))
   }
 
+  /** Pattern REDACTION — the PII-scrub shape of a training-data pipeline:
+    * every match of `pattern` is replaced with `replacement` (emails,
+    * phone numbers, IP addresses in production; callers pass their
+    * pattern). Emits per-doc audit columns instead of the text itself:
+    * `n_redacted` (match count), `scrubbed_len`, and `scrubbed_fp` — the
+    * position-weighted char fingerprint of the REDACTED text (the
+    * [[fingerprint]] kernel), which pins every byte of the scrub result to
+    * a replayable value, so the oracle catches a single mis-replaced
+    * character. Row-local and shuffle-free; the regex runs inside
+    * whole-stage codegen (regexp_replace/regexp_count are native
+    * expressions with compiled-pattern caching).
+    *
+    * Cross-engine validity: the oracle replays the regex in DuckDB (RE2)
+    * against Spark's java.util.regex — identical only for the shared
+    * dialect subset (character classes, bounded/unbounded greedy
+    * quantifiers, alternation; no backrefs, no lookaround, no possessive
+    * quantifiers). Keep gate patterns inside that subset. The gate query
+    * scrubs vowel runs (`[aeiou]{2,}`) because the synthetic corpus is
+    * pure lowercase letters — digits/emails simply never occur in it.
+    */
+  def scrub(docs: DataFrame, pattern: String, replacement: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val scrubbed = regexp_replace(col("text"), pattern, replacement)
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).cast("long").as("n_redacted"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      call_function("char_fingerprint", scrubbed).as("scrubbed_fp"))
+  }
+
   /** SQL-lambda mirror of the fingerprint kernel (equivalence-test form). */
   val fingerprintSql: String =
     """aggregate(

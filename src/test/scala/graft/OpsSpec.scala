@@ -307,6 +307,109 @@ class OpsSpec extends AnyFunSuite {
     intercept[Exception](Sampling.split(neg, bounds).collect())
   }
 
+  test("duplicate spans: gram-string replay, collision-free hashes, short docs") {
+    val spans = Dedup.dupSpans(docs, n = 8, minDocs = 2)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver replay over gram STRINGS — the content identity, no hashes
+    // anywhere, so a kernel/hash bug cannot hide in its own mirror
+    val txt = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = txt.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nW = math.max(1, ws.length - 7)
+      Array.tabulate(nW) { i =>
+        (id, i.toLong, ws.slice(i, math.min(ws.length, i + 8)).map(_ + " ").mkString)
+      }
+    }
+    val gramDocs = all.groupBy(_._3).map { case (g, rows) =>
+      g -> rows.map(_._1).distinct.length.toLong }
+    val expected = all.filter(w => gramDocs(w._3) >= 2L)
+      .map(w => (w._1, w._2, gramDocs(w._3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "gate data must actually contain duplicated spans")
+    // oracle validity condition: the 64-bit fold is collision-free here —
+    // hash cardinality equals gram-string cardinality
+    graft.functions.GraftFunctions.register(spark)
+    val nHashes = docs.select(explode(
+        call_function("shingle_hashes", split($"text", " "), lit(8))).as("h"))
+      .select("h").distinct().count()
+    assert(nHashes == gramDocs.size.toLong)
+    // short-doc rule: docs below n words collapse to ONE whole-doc window,
+    // so two 3-word twins flag each other at pos 0
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val tinySpans = Dedup.dupSpans(tiny, n = 8, minDocs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tinySpans == Set((1L, 0L, 2L), (2L, 0L, 2L)))
+    // malformed parameters rejected up front
+    intercept[IllegalArgumentException](Dedup.dupSpans(docs, n = 0))
+    intercept[IllegalArgumentException](Dedup.dupSpans(docs, minDocs = 1))
+  }
+
+  test("duplicate spans: one shuffle, one local sort, no join, single subtree") {
+    val plan = Dedup.dupSpans(docs, n = 8, minDocs = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the exploded window stream crosses exactly ONE exchange; both
+    // windows ride it (the unbounded-max window reuses the rank window's
+    // (h, doc_id) sort), and there is no self-join re-evaluating the kernel
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).length == 1, plan)
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).length == 2, plan)
+    assert("shingle_hashes".r.findAllIn(plan).length <= 2, plan) // one Generate (+ its arg echo)
+  }
+
+  test("upsample: fractional repeat factors replay exactly, edge rates behave") {
+    val up = Sampling.upsample(docs, "lang", Map("en" -> 2500, "zh" -> 500),
+      defaultPerMille = 1000)
+    val got = up.select("doc_id", "lang", "mix_bucket", "n_copies", "copy_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // driver replay of the documented bucket + whole/fractional-copy split
+    val expected = docs.select("doc_id", "lang").collect().flatMap { r =>
+      val id = r.getLong(0); val lang = r.getString(1)
+      val b = (id % 4294967296L) * 1597334677L % 4294967296L / 65536L % 1000L
+      val rate = lang match { case "en" => 2500L; case "zh" => 500L; case _ => 1000L }
+      val nc = rate / 1000L + (if (b < rate % 1000L) 1L else 0L)
+      (0L until nc).map(ci => (id, lang, b, nc, ci))
+    }.toSet
+    assert(got == expected)
+    // en lands between 2 and 3 copies; the fractional subset is ~half
+    val enCopies = got.filter(_._2 == "en").map(t => (t._1, t._4)).toMap
+    assert(enCopies.nonEmpty && enCopies.values.forall(n => n == 2L || n == 3L))
+    // rate 0 drops the stratum entirely; rate 1000 is the identity
+    assert(Sampling.upsample(docs, "lang", Map("en" -> 0), 1000)
+      .filter($"lang" === "en").count() == 0)
+    val ident = Sampling.upsample(docs, "lang", Map.empty, 1000)
+    assert(ident.count() == docs.count())
+    assert(ident.filter($"copy_idx" =!= 0).count() == 0)
+    // row-local explode: no exchange in the plan
+    assert(!up.queryExecution.executedPlan.toString.contains("Exchange"))
+    // negative doc_id fails loudly (cross-engine pmod divergence guard)
+    intercept[Exception](Sampling.upsample(
+      Seq((-5L, "x")).toDF("doc_id", "lang"), "lang", Map.empty, 1000).collect())
+    intercept[IllegalArgumentException](
+      Sampling.upsample(docs, "lang", Map("en" -> -1), 1000))
+  }
+
+  test("scrub: redaction replays exactly under the JVM regex") {
+    val pattern = "[aeiou]{2,}"
+    val got = TextOps.scrub(docs, pattern, "_")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val s = r.getString(1).replaceAll(pattern, "_")
+      val n = pattern.r.findAllIn(r.getString(1)).length.toLong
+      val fp = s.zipWithIndex.map { case (c, i) => (i + 1).toLong * c.toLong }
+        .foldLeft(0L)((a, b) => (a + b) % 1000000007L)
+      (r.getLong(0), n, s.length.toLong, fp)
+    }.toSet
+    assert(got == expected)
+    assert(got.exists(_._2 > 0), "gate pattern must actually redact something")
+  }
+
   test("context-window chunking: exact tiling and per-window content checksums") {
     val max = 64; val overlap = 16; val stride = max - overlap
     val toks = graft.sources.Tokens.synthetic(spark, 150).cache()
