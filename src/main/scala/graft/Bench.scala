@@ -282,7 +282,8 @@ object Bench {
       "ngram_jaccard", "ann_brute_top1", "ann_lsh_topk", "ann_ivf_topk", "text_quality",
       "text_fingerprint", "media_features", "events_hourly", "trace_frames",
       "decode_event", "corpus_mix", "decontaminate", "chunk_tokens", "pack_tokens",
-      "vocab_remap", "corpus_shuffle", "text_repetition")
+      "vocab_remap", "corpus_shuffle", "text_repetition", "dedup_spans",
+      "corpus_upsample", "text_scrub")
     val qs = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Best-of-N INTERLEAVED, like the scaling levels: single-shot per-query
