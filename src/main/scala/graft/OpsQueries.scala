@@ -648,6 +648,58 @@ object OpsQueries {
            |SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, CAST(c.nd AS BIGINT) AS n_docs
            |FROM g JOIN c USING (gram) WHERE c.nd >= 2""".stripMargin))
 
+  /** Duplicate-span REMOVAL ([[Dedup.cutSpans]], n=8, keeper = min
+    * doc_id): the oracle rebuilds the flagged-window set over gram
+    * STRINGS (same CTE chain as dedup_spans plus the min-doc keeper),
+    * expands it to covered word indices, drops those words, rejoins the
+    * survivors with single spaces, and re-derives the position-weighted
+    * char fingerprint of the cleaned text with the same list-fold the
+    * text_fingerprint/text_scrub oracles use — so one wrongly cut or
+    * wrongly kept word anywhere diverges `cleaned_fp`. Same validity
+    * conditions as dedup_spans (64-bit hash collisions could only change
+    * the flag set, and the fingerprint equality would catch it; ASCII
+    * docs; short-doc whole-window rule), plus: empty cleaned text folds
+    * to 0 on both sides (coalesce over DuckDB's NULL empty-list sum).
+    */
+  private val dedupSpansCut = Q(
+    (s, dir) => Dedup.cutSpans(docs(s, dir), n = 8, minDocs = 2),
+    Some("""WITH w AS (
+           |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           |), g AS (
+           |  SELECT doc_id,
+           |    unnest(range(0, greatest(1, len(words) - 7))) AS pos,
+           |    unnest(list_transform(range(0, greatest(1, len(words) - 7)),
+           |      i -> array_to_string(list_transform(words[i + 1 : i + 8], x -> x || ' '), ''))) AS gram
+           |  FROM w
+           |), c AS (
+           |  SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+           |  FROM g GROUP BY 1
+           |), cov AS (
+           |  SELECT DISTINCT doc_id, idx FROM (
+           |    SELECT g.doc_id,
+           |      unnest(range(g.pos, least(g.pos + 8, len(w.words)))) AS idx
+           |    FROM g JOIN c USING (gram) JOIN w USING (doc_id)
+           |    WHERE c.nd >= 2 AND g.doc_id <> c.keeper)
+           |), e AS (
+           |  SELECT doc_id, unnest(words) AS word,
+           |         unnest(range(0, len(words))) AS idx
+           |  FROM w
+           |), cl AS (
+           |  SELECT e.doc_id,
+           |    array_to_string(list(e.word ORDER BY e.idx), ' ') AS s,
+           |    count(*) AS n_kept
+           |  FROM e LEFT JOIN cov ON cov.doc_id = e.doc_id AND cov.idx = e.idx
+           |  WHERE cov.idx IS NULL GROUP BY 1
+           |)
+           |SELECT w.doc_id,
+           |  CAST(len(w.words) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_cut,
+           |  CAST(coalesce(cl.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(coalesce(list_sum(list_transform(
+           |    range(1, length(coalesce(cl.s, '')) + 1),
+           |    i -> i * ascii(coalesce(cl.s, '')[i]))), 0) % 1000000007 AS BIGINT)
+           |    AS cleaned_fp
+           |FROM w LEFT JOIN cl USING (doc_id)""".stripMargin))
+
   /** Fractional repeat-factor resampling ([[Sampling.upsample]]): en gets
     * 2.5 epochs, zh 0.5, everything else 1.0. The oracle replays the
     * shared bucket arithmetic ([[bucketDuckSql]]) plus the whole-copies +
@@ -714,6 +766,7 @@ object OpsQueries {
     "corpus_shuffle" -> corpusShuffle,
     "decontaminate" -> decontaminate,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_cut" -> dedupSpansCut,
     "corpus_upsample" -> corpusUpsample,
     "text_scrub" -> textScrub,
     "text_repetition" -> textRepetition,

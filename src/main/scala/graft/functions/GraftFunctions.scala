@@ -72,6 +72,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("cut_spans",
+      exprs => CutSpans(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_normalize",

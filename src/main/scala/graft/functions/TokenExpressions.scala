@@ -572,6 +572,88 @@ object ShingleHashes {
   }
 }
 
+/** cut_spans(words array<string>, cut_pos array<long>, n) ->
+  * array<long> of exactly [n_cut_words, n_kept_words, cleaned_fp]: removes
+  * every word covered by some flagged n-word window start in `cut_pos`
+  * (the [[graft.ops.Dedup.dupSpans]] output for one doc) and fingerprints
+  * the SINGLE-SPACE rejoin of the surviving words with the
+  * [[ChecksumKernels.charFingerprint]] fold — so the whole cleaned text is
+  * pinned to one replayable value without ever shipping it. Intervals
+  * [p, min(len, p+n)) are unioned in one pass (`cut_pos` must be sorted
+  * ascending — the op sorts; unsorted input would under-cut, not crash).
+  * A doc with every word covered yields [len, 0, 0] (the empty string's
+  * fold). Native because the per-row work is O(len) interval walking +
+  * string building — the higher-order formulation is CodegenFallback and
+  * would re-evaluate per plan reference.
+  */
+case class CutSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cut_spans"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) if n >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName window size must be >= 1, got $n")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<long>)")
+    }
+
+  override def nullSafeEval(words: Any, cuts: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(CutSpans.compute(
+      words.asInstanceOf[ArrayData], cuts.asInstanceOf[ArrayData], n))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, c) =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.CutSpans.compute($w, $c, $n));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object CutSpans {
+  /** Java-callable kernel (used from generated code). Null words render
+    * as empty strings (the same public-SQL-function guard as the other
+    * string-array kernels); null cut positions are skipped.
+    */
+  def compute(words: ArrayData, cuts: ArrayData, n: Int): Array[Long] = {
+    val len = words.numElements()
+    val nCuts = cuts.numElements()
+    val sb = new java.lang.StringBuilder
+    var covered = 0L
+    var kept = 0L
+    var cutIdx = 0
+    var end = 0L // exclusive end of the union of intervals seen so far
+    var i = 0
+    while (i < len) {
+      while (cutIdx < nCuts &&
+          (cuts.isNullAt(cutIdx) || cuts.getLong(cutIdx) <= i)) {
+        if (!cuts.isNullAt(cutIdx)) {
+          val p = cuts.getLong(cutIdx)
+          val e = math.min(len.toLong, p + n)
+          if (e > end) end = e
+        }
+        cutIdx += 1
+      }
+      if (i < end) covered += 1
+      else {
+        if (kept > 0) sb.append(' ')
+        if (!words.isNullAt(i)) sb.append(words.getUTF8String(i).toString)
+        kept += 1
+      }
+      i += 1
+    }
+    Array(covered, kept,
+      ChecksumKernels.charFingerprint(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+}
+
 /** sig_agree(a array<long>, b array<long>) -> int: number of positions
   * where two MinHash signatures agree (the Jaccard estimator's numerator).
   * Native because the zip_with+aggregate formulation is CodegenFallback

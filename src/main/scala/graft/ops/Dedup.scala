@@ -499,6 +499,55 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("n_docs"))
   }
 
+  /** Duplicate-span REMOVAL — the cut step that completes [[dupSpans]]
+    * into the actual dedup of Lee et al. ACL'22 (cut every duplicated
+    * range from all but one occurrence, so the corpus keeps exactly one
+    * copy of each boilerplate region): every n-word window whose content
+    * appears in ≥ `minDocs` distinct docs is cut from every doc EXCEPT
+    * the keeper (the minimum doc_id holding that content — the same
+    * min-key keeper rule as [[dedupCorpus]]). Output is one row per doc
+    * with audit columns only: `n_cut` / `n_kept` word counts and
+    * `cleaned_fp`, the char-fingerprint of the single-space rejoin of the
+    * surviving words — the whole cleaned text pinned to one replayable
+    * BIGINT (consumers wanting the text itself apply the same
+    * [[graft.functions.CutSpans]] kernel minus the fingerprint).
+    *
+    * Scale shape, on top of [[dupSpans]]' single-windowed-subtree
+    * analysis (slim (hash, doc_id, pos) triples through ONE exchange —
+    * the keeper doc comes free as `min(doc_id)` over the same
+    * hash-partitioned window, riding the existing sort): cut positions
+    * collapse to one sorted array per flagged doc (second slim exchange),
+    * and the heavy text side moves exactly once, through a SHUFFLE_HASH
+    * join against that slim side (SMJ would sort the text side — the
+    * pipeline doc-key-join rationale; spec-asserted). The cut itself is
+    * a one-pass native kernel inside whole-stage codegen. Unflagged docs
+    * pass through the join as left rows with an empty cut list.
+    */
+  def cutSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window size must be >= 1: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val byHashDoc = byHash.orderBy("doc_id")
+    val cutLists = docs
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes", split(col("text"), " "), lit(n)))
+          .as(Seq("pos", "h")))
+      .withColumn("n_docs",
+        max(dense_rank().over(byHashDoc)).over(byHash))
+      .withColumn("keeper", min(col("doc_id")).over(byHash))
+      .filter(col("n_docs") >= minDocs && col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("cut_pos"))
+    val cut = call_function("cut_spans", split(col("text"), " "),
+      coalesce(col("cut_pos"), typedLit(Array.empty[Long])), lit(n))
+    docs.join(cutLists.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        element_at(cut, 1).as("n_cut"),
+        element_at(cut, 2).as("n_kept"),
+        element_at(cut, 3).as("cleaned_fp"))
+  }
+
   /** Embedding near-dup: cosine ≥ threshold pairs, candidates bucketed by
     * random-hyperplane LSH (see [[Ann.hyperplaneBuckets]]) so the pair join
     * never goes quadratic in the corpus.

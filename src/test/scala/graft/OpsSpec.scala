@@ -360,6 +360,66 @@ class OpsSpec extends AnyFunSuite {
     assert("shingle_hashes".r.findAllIn(plan).length <= 2, plan) // one Generate (+ its arg echo)
   }
 
+  test("span cutting: keeper rule, fingerprint replay, full-cut and identity docs") {
+    val got = Dedup.cutSpans(docs, n = 8, minDocs = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver replay over gram STRINGS (content identity, no hashes):
+    // flag windows in >= 2 docs, keep the min-doc occurrence, cut covered
+    // words elsewhere, fingerprint the single-space rejoin
+    def fp(s: String): Long =
+      s.zipWithIndex.foldLeft(0L) { case (a, (c, i)) => (a + (i + 1).toLong * c) % 1000000007L }
+    val txt = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = txt.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      Array.tabulate(math.max(1, ws.length - 7)) { i =>
+        (id, i, ws.slice(i, math.min(ws.length, i + 8)).map(_ + " ").mkString)
+      }
+    }
+    val stats = all.groupBy(_._3).map { case (g, rows) =>
+      g -> ((rows.map(_._1).distinct.length, rows.map(_._1).min)) }
+    val expected = txt.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val covered = all.filter(w => w._1 == id && {
+        val (nd, keeper) = stats(w._3); nd >= 2 && id != keeper
+      }).flatMap(w => w._2 until math.min(ws.length, w._2 + 8)).toSet
+      val keptWs = ws.indices.filterNot(covered).map(ws)
+      id -> ((covered.size.toLong, keptWs.length.toLong, fp(keptWs.mkString(" "))))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.exists(_._1 > 0), "gate data must actually cut something")
+    // untouched docs keep their exact original fingerprint
+    val untouched = txt.filter(t => expected(t._1)._1 == 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, t) => assert(got(id)._3 == fp(t)) }
+    // keeper rule end-to-end on twins: min doc keeps everything, the twin
+    // is cut to nothing (short docs collapse to one whole-doc window)
+    val tiny = Seq((7L, "a b c"), (9L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val tinyCut = Dedup.cutSpans(tiny, n = 8, minDocs = 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(tinyCut(7L) == ((0L, 3L, fp("a b c"))))
+    assert(tinyCut(9L) == ((3L, 0L, 0L))) // empty string folds to 0
+    assert(tinyCut(3L) == ((0L, 3L, fp("x y z"))))
+    intercept[IllegalArgumentException](Dedup.cutSpans(docs, n = 0))
+    intercept[IllegalArgumentException](Dedup.cutSpans(docs, minDocs = 1))
+  }
+
+  test("span cutting: text side joins SHUFFLE_HASH, windows ride one exchange") {
+    val plan = Dedup.cutSpans(docs, n = 8, minDocs = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // heavy text side must hash-join against the slim cut lists — SMJ
+    // would sort the text partitions (the pipeline doc-key-join rationale)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // window subtree unchanged from dedup_spans (1 exchange, 2 windows:
+    // keeper min rides the unordered spec with the rank max) + groupBy +
+    // text-side join exchange = 3 total
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).length == 3, plan)
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).length == 2, plan)
+  }
+
   test("upsample: fractional repeat factors replay exactly, edge rates behave") {
     val up = Sampling.upsample(docs, "lang", Map("en" -> 2500, "zh" -> 500),
       defaultPerMille = 1000)
