@@ -723,6 +723,53 @@ object OpsQueries {
             |               ELSE 1000 END AS r
             |        FROM documents))""".stripMargin))
 
+  /** Winnowing fingerprints ([[TextOps.winnow]], n=5, w=4): the oracle
+    * rebuilds each 5-word shingle string ("w1 … w5 " — the kernel's
+    * byte-fold identity), replays the FNV-1a fold with the shared HUGEINT
+    * machinery ([[fnvFoldSql]]), converts to the SIGNED ordering
+    * ([[toSigned64]] — the same convention the minhash lane-min replay
+    * uses), computes each window's min over a 4-row frame, and picks the
+    * rightmost position attaining it via max(pos) group-by. Window
+    * validity (full windows only, except the single clipped window of a
+    * short doc) mirrors the op's cnt/nh filter. ASCII-documents condition
+    * as for all byte-fold replays; signed-order equivalence is exact (the
+    * conversion is the two's-complement bijection).
+    */
+  private val textWinnow = Q(
+    (s, dir) => TextOps.winnow(docs(s, dir), n = 5, w = 4),
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            |), sh AS (
+            |  SELECT doc_id,
+            |    unnest(range(0, greatest(1, len(words) - 4))) AS pos,
+            |    unnest(list_transform(range(0, greatest(1, len(words) - 4)),
+            |      i -> array_to_string(list_transform(words[i + 1 : i + 5], x -> x || ' '), ''))) AS shingle
+            |  FROM w
+            |), h AS (
+            |  SELECT doc_id, pos,
+            |    ${fnvFoldSql("shingle")}
+            |  FROM sh
+            |), hs AS (
+            |  SELECT doc_id, pos, ${toSigned64("h0")} AS hv FROM h
+            |), wm AS (
+            |  SELECT doc_id, pos AS i,
+            |    min(hv) OVER fr AS m,
+            |    count(*) OVER fr AS cnt,
+            |    count(*) OVER (PARTITION BY doc_id) AS nh
+            |  FROM hs
+            |  WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+            |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+            |), sel AS (
+            |  SELECT hs.doc_id, wm.i, wm.m, max(hs.pos) AS fp_pos
+            |  FROM wm JOIN hs ON hs.doc_id = wm.doc_id
+            |    AND hs.pos BETWEEN wm.i AND wm.i + 3 AND hs.hv = wm.m
+            |  WHERE wm.cnt = 4 OR (wm.i = 0 AND wm.nh < 4)
+            |  GROUP BY 1, 2, 3
+            |)
+            |SELECT DISTINCT doc_id, CAST(fp_pos AS BIGINT) AS fp_pos,
+            |  CAST(m AS BIGINT) AS fp_hash
+            |FROM sel""".stripMargin))
+
   /** Pattern redaction ([[TextOps.scrub]]): vowel runs → '_' (the corpus
     * is pure lowercase letters, so digit/email PII patterns would be
     * vacuous — the REGEX DIALECT validity condition lives at the op). The
@@ -769,6 +816,7 @@ object OpsQueries {
     "dedup_spans_cut" -> dedupSpansCut,
     "corpus_upsample" -> corpusUpsample,
     "text_scrub" -> textScrub,
+    "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,

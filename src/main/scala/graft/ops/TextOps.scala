@@ -129,6 +129,52 @@ object TextOps {
       call_function("char_fingerprint", scrubbed).as("scrubbed_fp"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash every n-word shingle, slide a window of `w`
+    * consecutive hashes, and in each window select the RIGHTMOST minimal
+    * hash — the selected (position, hash) set is the document's
+    * fingerprint. The local selection rule guarantees any shared run of
+    * w + n - 1 words between two documents shares at least one
+    * fingerprint, at ~2/(w+1) density — the standard copy-detection
+    * index between exact span dedup (catches everything, more output)
+    * and minhash (whole-doc only).
+    *
+    * Spark shape: the [[graft.functions.ShingleHashes]] kernel emits the
+    * per-position hash array shuffle-free; the window selection is
+    * `min(struct(h, -pos))` over a `rowsBetween(0, w-1)` frame — the
+    * struct's lexicographic order makes "rightmost minimal" a plain MIN,
+    * so selection rides ONE doc-partitioned exchange + sort, and the
+    * distinct fingerprint set is one more slim exchange with map-side
+    * partial aggregation. Docs with fewer than w hashes use the one
+    * clipped window at position 0 (selection still yields exactly one
+    * fingerprint, the classic every-doc-fingerprinted guarantee).
+    * Hashes order as SIGNED 64-bit longs — the same convention the
+    * minhash signature's lane-min uses, replayed in the oracle via the
+    * HUGEINT fold + two's-complement conversion.
+    */
+  def winnow(docs: DataFrame, n: Int = 5, w: Int = 4): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1: $n")
+    require(w >= 1, s"winnow window must be >= 1: $w")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs.select(col("doc_id"),
+        posexplode(call_function("shingle_hashes", split(col("text"), " "), lit(n)))
+          .as(Seq("pos", "h")))
+      // frame windows first: the whole-partition count then rides their
+      // (doc_id, pos) sort (its [doc_id] requirement is a prefix) — one
+      // exchange, ONE sort for both Window ops
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("nh", count(lit(1)).over(byDoc))
+      .filter(col("cnt") === w || (col("pos") === 0 && col("nh") < w))
+      .select(col("doc_id"), (-col("sel.np")).cast("long").as("fp_pos"),
+        col("sel.h").as("fp_hash"))
+      .distinct()
+  }
+
   /** SQL-lambda mirror of the fingerprint kernel (equivalence-test form). */
   val fingerprintSql: String =
     """aggregate(

@@ -454,6 +454,67 @@ class OpsSpec extends AnyFunSuite {
       Sampling.upsample(docs, "lang", Map("en" -> -1), 1000))
   }
 
+  test("winnowing: rightmost-min selection replays, coverage guarantee, short docs") {
+    val nGram = 5; val win = 4
+    val got = TextOps.winnow(docs, n = nGram, w = win).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver replay from gram STRINGS: fold FNV-1a over the chars (ASCII ≡
+    // the kernel's byte fold), then the classic winnow — rightmost minimal
+    // hash per full window (the clipped window 0 for short docs)
+    def fnv(s: String): Long =
+      s.foldLeft(1469598103934665603L)((h, c) => (h ^ c.toLong) * 1099511628211L)
+    val expected = docs.select($"doc_id", $"text").collect().flatMap { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val hs = Array.tabulate(math.max(1, ws.length - nGram + 1)) { i =>
+        fnv(ws.slice(i, math.min(ws.length, i + nGram)).map(_ + " ").mkString)
+      }
+      val starts = if (hs.length < win) Seq(0) else 0 to (hs.length - win)
+      starts.map { i =>
+        val frame = hs.slice(i, math.min(hs.length, i + win))
+        val m = frame.min
+        val fpPos = i + frame.lastIndexOf(m)
+        (r.getLong(0), fpPos.toLong, m)
+      }.toSet
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the SIGMOD'03 guarantee on gate data: every full window of `win`
+    // consecutive hash positions contains at least one fingerprint
+    val byDoc = expected.groupBy(_._1).map { case (id, s) => id -> s.map(_._2) }
+    docs.select($"doc_id", $"text").collect().foreach { r =>
+      val nH = math.max(1, r.getString(1).split(" ", -1).length - nGram + 1)
+      val fps = byDoc(r.getLong(0))
+      (0 to math.max(0, nH - win)).foreach { i =>
+        assert(fps.exists(p => p >= i && p < i + win), s"doc ${r.getLong(0)} window $i uncovered")
+      }
+    }
+    // density sits near the 2/(w+1) asymptote (±50% slack on word soup)
+    val nHashes = docs.select($"text").collect()
+      .map(r => math.max(1, r.getString(0).split(" ", -1).length - nGram + 1).toLong).sum
+    val density = got.size.toDouble / nHashes
+    assert(density > 0.2 && density < 0.6, s"density $density")
+    // short doc (< n words → ONE hash): exactly one fingerprint at pos 0
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val tfp = TextOps.winnow(tiny, n = nGram, w = win).collect()
+    assert(tfp.length == 1 && tfp.head.getLong(1) == 0L)
+    intercept[IllegalArgumentException](TextOps.winnow(docs, n = 0))
+    intercept[IllegalArgumentException](TextOps.winnow(docs, w = 0))
+  }
+
+  test("winnowing: selection rides one doc-partitioned exchange, distinct is slim") {
+    val plan = TextOps.winnow(docs, n = 5, w = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // ONE exchange total: both window specs (ordered frame, then the
+    // whole-partition count riding its prefix sort) AND the distinct
+    // (doc_id hash partitioning satisfies its clustered requirement,
+    // since doc_id is in the distinct key) share it; one sort; no join
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).length == 1, plan)
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("scrub: redaction replays exactly under the JVM regex") {
     val pattern = "[aeiou]{2,}"
     val got = TextOps.scrub(docs, pattern, "_")
