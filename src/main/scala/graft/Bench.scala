@@ -283,7 +283,8 @@ object Bench {
       "text_fingerprint", "media_features", "events_hourly", "trace_frames",
       "decode_event", "corpus_mix", "decontaminate", "chunk_tokens", "pack_tokens",
       "vocab_remap", "corpus_shuffle", "text_repetition", "dedup_spans",
-      "dedup_spans_cut", "corpus_upsample", "text_scrub", "text_winnow")
+      "dedup_spans_cut", "corpus_upsample", "text_scrub", "text_winnow",
+      "bpe_learn", "bpe_apply", "corpus_sample")
     val qs = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Best-of-N INTERLEAVED, like the scaling levels: single-shot per-query

@@ -572,6 +572,31 @@ object OpsQueries {
             |  SELECT doc_id, lang, $bucketDuckSql AS b
             |  FROM documents)""".stripMargin))
 
+  /** Exact-n stratified sample ([[Sampling.sampleExact]], n = 70 per
+    * language, seed 7): the oracle replays the shuffleOrder-family hash
+    * and ranks the FULL strata with row_number under the identical
+    * (key, doc_id) total order — so the op's two-phase cutoff prune (the
+    * 100 TB path: count → hash-cutoff candidates → window over ~n rows)
+    * is proven invisible against an unpruned ranking. n = 70 straddles
+    * the gate strata (fr = 64 < 70 ≤ the rest at sf0.01), covering both
+    * the take-all and the pruned path. Same non-negative-doc_id and seed
+    * conditions as corpus_shuffle; don't drop the doc_id tie-break on
+    * either side (the total order is what makes ranks replayable).
+    */
+  private val corpusSample = Q(
+    (s, dir) => Sampling.sampleExact(docs(s, dir), "lang", n = 70, seed = 7)
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("sample_rank")),
+    Some("""SELECT doc_id, lang, CAST(k AS BIGINT) AS sample_key,
+           |  CAST(rn - 1 AS BIGINT) AS sample_rank
+           |FROM (
+           |  SELECT doc_id, lang, k,
+           |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+           |  FROM (SELECT doc_id, lang,
+           |          ((doc_id % 4294967296 + 7) % 4294967296) * 1103515245
+           |            % 4294967296 AS k
+           |        FROM documents))
+           |WHERE rn <= 70""".stripMargin))
+
   /** Deterministic training-order shuffle ([[Sampling.shuffleOrder]],
     * 4 shards, seed 7): the oracle replays the multiplicative hash and
     * the per-shard row_number with the identical (key, doc_id) total
@@ -789,6 +814,109 @@ object OpsQueries {
            |FROM (SELECT doc_id, text, regexp_replace(text, '[aeiou]{2,}', '_', 'g') AS s
            |      FROM documents)""".stripMargin))
 
+  // ---- distributed BPE trainer ([[graft.ops.Bpe]]) --------------------
+
+  /** DuckDB replay of `k` BPE trainer rounds over the generated token
+    * table: it0 is the exploded (doc_id, pos, tok) stream rebuilt from
+    * [[graft.sources.Tokens.duckTokensCte]]; each round picks the top
+    * adjacent pair under the (count DESC, lhs, rhs) total order and
+    * rewrites the stream with lead/lag marking — the merge start becomes
+    * the fresh id, the consumed right-hand row is dropped. The marking is
+    * equivalent to the kernel's greedy left-to-right pass ONLY when
+    * lhs ≠ rhs (overlapping matches are impossible then: a consumed row
+    * holds rhs, a match start holds lhs); the lhs = rhs run-parity case
+    * is NOT expressible with one lag — that regime is the gate validity
+    * condition below, and the kernel's handling of it is BpeSpec-tested.
+    */
+  private def bpeIterCtes(k: Int): String = {
+    val sb = new StringBuilder(graft.sources.Tokens.duckTokensCte)
+    // every iteration CTE is MATERIALIZED: it$r / t$r are referenced more
+    // than once, and DuckDB's default inlining re-evaluates the whole
+    // upstream chain per reference — exponential in k (measured: the
+    // un-hinted 6-round form ran > 20 min at sf0.01; materialized,
+    // seconds)
+    sb ++= ",\nit0 AS MATERIALIZED (SELECT doc_id, i AS pos, CAST(tok AS BIGINT) AS tok FROM tokv)"
+    for (r <- 0 until k) {
+      sb ++= s""",
+t$r AS MATERIALIZED (
+  SELECT a, b, count(*) AS c FROM (
+    SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM it$r)
+  WHERE b IS NOT NULL
+  GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+it${r + 1} AS MATERIALIZED (
+  SELECT doc_id, pos,
+    CASE WHEN tok = (SELECT a FROM t$r) AND nxt = (SELECT b FROM t$r)
+         THEN CAST(${Bpe.NewIdBase + r} AS BIGINT) ELSE tok END AS tok
+  FROM (SELECT doc_id, pos, tok,
+          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+          lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+        FROM it$r)
+  WHERE NOT coalesce(prv = (SELECT a FROM t$r) AND tok = (SELECT b FROM t$r), FALSE)
+)"""
+    }
+    sb.toString
+  }
+
+  private def BpeGateMerges = 6
+
+  /** BPE merge learning ([[Bpe.learnMerges]], 6 rounds over the full
+    * generated token table): the gate output is the learned merge table
+    * itself — each row's pair count depends on the whole corpus state
+    * after every previous merge, so one wrong rewrite anywhere diverges a
+    * later round. Validity conditions: (1) every learned merge at gate
+    * data has lhs ≠ rhs (verified at sf0.01 AND sf0.1 — all six merges
+    * land in the dense mod-64 profile; re-check if testdata regenerates),
+    * which is what makes the oracle's lag-marking rewrite ≡ the kernel's
+    * greedy pass (see [[bpeIterCtes]]); the lhs = rhs run-parity regime
+    * is BpeSpec-tested against a driver replay. (2) Both engines break
+    * count ties with the same (count DESC, lhs ASC, rhs ASC) TOTAL order
+    * — gate data has real ties at every round, so don't weaken either
+    * side's ORDER BY. (3) Fresh ids start at 2^31, above the int32 token
+    * domain — no collision with input tokens.
+    */
+  private val bpeLearn = Q(
+    (s, dir) => {
+      val toks = graft.sources.Tokens.fromDocuments(s, dir)
+        .select(col("doc_id"), col("tokens"))
+      val (merges, _) = Bpe.learnMerges(toks, BpeGateMerges)
+      s.createDataFrame(merges)
+    },
+    Some(bpeIterCtes(BpeGateMerges) + "\n" +
+      (0 until BpeGateMerges).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+           |  CAST(c AS BIGINT) AS pair_count,
+           |  CAST(${Bpe.NewIdBase + r} AS BIGINT) AS new_id FROM t$r""".stripMargin)
+        .mkString("\nUNION ALL\n")))
+
+  /** BPE application ([[Bpe.learnMerges]]'s merged corpus — the
+    * "tokenize with the trained model" path): per-doc surviving token
+    * count plus the position-weighted checksum of the REMAPPED sequence
+    * (`long_checksum`: sum((i+1)·tok mod M) mod M), so every merge site
+    * and every survivor's position is value-pinned — one wrongly merged
+    * or wrongly kept token anywhere diverges bpe_sum. The oracle chains
+    * the same 6 replay rounds and folds row_number-densified positions.
+    * Same validity conditions as bpe_learn; checksum terms stay in i64
+    * because ids < 2^32 and docs < 2^13 tokens (< 2^45 per term).
+    */
+  private val bpeApply = Q(
+    (s, dir) => {
+      val toks = graft.sources.Tokens.fromDocuments(s, dir)
+        .select(col("doc_id"), col("tokens"))
+      val (_, merged) = Bpe.learnMerges(toks, BpeGateMerges)
+      merged.select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tok_after"),
+        call_function("long_checksum", col("tokens")).as("bpe_sum"))
+    },
+    Some(bpeIterCtes(BpeGateMerges) + s"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok_after,
+  CAST(sum((rn * tok) % 1000000007) % 1000000007 AS BIGINT) AS bpe_sum
+FROM (SELECT doc_id, tok,
+        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM it$BpeGateMerges)
+GROUP BY doc_id"""))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -811,6 +939,7 @@ object OpsQueries {
     "corpus_mix" -> corpusMix,
     "corpus_split" -> corpusSplit,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_sample" -> corpusSample,
     "decontaminate" -> decontaminate,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_cut" -> dedupSpansCut,
@@ -818,6 +947,8 @@ object OpsQueries {
     "text_scrub" -> textScrub,
     "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
+    "bpe_learn" -> bpeLearn,
+    "bpe_apply" -> bpeApply,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,

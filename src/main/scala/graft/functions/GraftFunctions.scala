@@ -83,7 +83,23 @@ object GraftFunctions {
       exprs => HyperplaneBuckets(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_merge",
+      exprs => BpeMerge(exprs(0), litLong(exprs(1)), litLong(exprs(2)),
+        litLong(exprs(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("long_checksum",
+      exprs => LongChecksum(exprs.head), "scala_udf")
   }
+
+  /** Fold a literal parameter expression to Long (SQL integer literals
+    * parse as Int below 2^31, the Column API passes Long — accept both).
+    */
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval(null) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
 
   def encode_tokens(tokens: Column, codec: String): Column =
     call_function("encode_tokens", tokens, org.apache.spark.sql.functions.lit(codec))

@@ -136,6 +136,94 @@ object Sampling {
     docs.withColumn("mix_bucket", b).withColumn("split", label)
   }
 
+  /** Exact-n per-stratum sample: the first `n` documents of every stratum
+    * under the deterministic (hash, doc_id) total order — "give me exactly
+    * 10k docs per source", where the per-mille ops above give proportions.
+    * Same reproducibility contract as the rest of this object: stable-id
+    * hash, no RNG, append-stable PREFIX property (growing a stratum can
+    * only swap members whose keys beat the old n-th, never reorder the
+    * kept ranks arbitrarily), SQL-replayable.
+    *
+    * Scale shape: a naive `row_number ≤ n` window sorts ENTIRE strata on
+    * one reducer each — at 100 TB a stratum is billions of rows. This
+    * runs two-phase instead: (1) per-stratum counts (slim agg, driver map
+    * bounded by stratum cardinality, like [[mixCorpus]]'s rate map);
+    * (2) a hash-cutoff prefilter keeps ~n + slack candidates per stratum
+    * (keys are near-uniform, so the n-th order statistic sits near
+    * n/count of the key space; the cutoff is verified to keep ≥ min(n,
+    * count) candidates and widened ×4 on deficit — a deterministic loop
+    * that terminates at the full key space, so the prune is provably
+    * invisible in the result); the ranking window then sorts only the
+    * candidates. The document payload never enters the sort: the window
+    * runs on a slim (doc_id, stratum, key) projection and full rows
+    * rejoin via SHUFFLE_HASH ([[shuffleOrder]]'s pattern).
+    *
+    * Same non-negative-doc_id validity condition and seed domain as
+    * [[shuffleOrder]] (whose key hash this reuses).
+    */
+  def sampleExact(docs: DataFrame, keyCol: String, n: Int,
+      seed: Long = 0L): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    require(seed >= 0 && seed < (1L << 31), s"seed must be in [0, 2^31): $seed")
+    Seq("sample_key", "sample_rank").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (this operator's output)")
+    }
+    val KeySpace = 4294967296L // 2^32 — exclusive upper bound of the hash
+    val key = expr(
+      s"pmod(pmod(pmod(doc_id, 4294967296) + $seed, 4294967296) * 1103515245, 4294967296)")
+    val guarded = when(col("doc_id") >= 0, key)
+      .otherwise(raise_error(lit("sampleExact requires non-negative doc_id")))
+    val slim = docs.select(col("doc_id"), col(keyCol),
+      guarded.cast("long").as("sample_key"))
+
+    // phase 1: stratum sizes (null strata included — Spark groups them)
+    val counts: Seq[(Any, Long)] = slim.groupBy(col(keyCol)).count()
+      .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+
+    def cutoffExpr(cut: Map[Any, Long]): Column =
+      counts.foldLeft(lit(KeySpace)) { case (acc, (k, _)) =>
+        val c = lit(cut(k))
+        if (k == null) when(col(keyCol).isNull, c).otherwise(acc)
+        else when(col(keyCol) === lit(k), c).otherwise(acc)
+      }
+
+    // initial cutoff: expected n-th order statistic + generous slack
+    // (6σ of the binomial candidate count + a constant floor)
+    var cut: Map[Any, Long] = counts.map { case (k, cnt) =>
+      k -> (if (cnt <= n) KeySpace
+            else {
+              val slack = n + 6.0 * math.sqrt(n.toDouble) + 64.0
+              math.min(KeySpace, math.ceil(KeySpace * slack / cnt).toLong)
+            })
+    }.toMap
+
+    // phase 2: verify the prune keeps ≥ min(n, count) per stratum; widen
+    // deficient strata ×4 (terminates: cutoff reaches the full key space)
+    var candidates = slim.filter(col("sample_key") < cutoffExpr(cut))
+    var deficit = true
+    while (deficit) {
+      val got = candidates.groupBy(col(keyCol)).count()
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      val short = counts.filter { case (k, cnt) =>
+        got.getOrElse(k, 0L) < math.min(n.toLong, cnt) }
+      if (short.isEmpty) deficit = false
+      else {
+        cut = cut ++ short.map { case (k, _) =>
+          k -> math.min(KeySpace, cut(k) * 4) }
+        candidates = slim.filter(col("sample_key") < cutoffExpr(cut))
+      }
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy("sample_key", "doc_id")
+    val ranked = candidates
+      .withColumn("sample_rank", (row_number().over(w) - 1).cast("long"))
+      .filter(col("sample_rank") < n)
+      .select(col("doc_id"), col("sample_key"), col("sample_rank"))
+    docs.join(ranked.hint("SHUFFLE_HASH"), Seq("doc_id"))
+  }
+
   /** Deterministic training-order shuffle: each document gets a shard
     * (`doc_id % nShards`) and a pseudo-random position inside it —
     * `row_number` over an overflow-free multiplicative hash of

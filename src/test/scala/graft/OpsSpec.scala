@@ -714,6 +714,45 @@ class OpsSpec extends AnyFunSuite {
       Sampling.shuffleOrder(Sampling.shuffleOrder(docs, 4, 7), 4, 8))
   }
 
+  test("exact stratified sample: prune-invisible ranks, both paths, null strata") {
+    def key(id: Long, seed: Long) =
+      (id % 4294967296L + seed) % 4294967296L * 1103515245L % 4294967296L
+    // driver replay: full per-stratum ranking under the (key, doc_id)
+    // total order — the op's cutoff prune must be invisible against it
+    val byLang = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    def expected(n: Int, seed: Long) = byLang.iterator.flatMap { case (lang, xs) =>
+      xs.map(_._1).sortBy(id => (key(id, seed), id)).take(n).zipWithIndex
+        .map { case (id, i) => id -> (lang, key(id, seed), i.toLong) }
+    }.toMap
+    def got(df: org.apache.spark.sql.DataFrame, n: Int, seed: Long) =
+      Sampling.sampleExact(df, "lang", n, seed)
+        .select("doc_id", "lang", "sample_key", "sample_rank").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // n = 20 prunes every stratum; n = 100000 takes everything
+    assert(got(docs, 20, 7) == expected(20, 7))
+    assert(got(docs, 100000, 7) == expected(100000, 7))
+    assert(got(docs, 100000, 7).size == docs.count())
+    // seed changes membership; same seed is parallelism-independent
+    assert(got(docs, 20, 8) == expected(20, 8))
+    assert(got(docs, 20, 8) != got(docs, 20, 7))
+    assert(got(docs.repartition(13), 20, 7) == got(docs.repartition(1), 20, 7))
+    // null strata sample as their own group, nothing silently dropped
+    val withNull = docs.withColumn("lang",
+      when($"doc_id" % 5 === 0, lit(null: String)).otherwise($"lang"))
+    val ns = Sampling.sampleExact(withNull, "lang", 10, 7)
+    assert(ns.filter($"lang".isNull).count() == 10)
+    // slim window + SHUFFLE_HASH rejoin; the payload never enters a sort
+    val plan = Sampling.sampleExact(docs, "lang", 20, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    intercept[IllegalArgumentException](Sampling.sampleExact(docs, "lang", 0, 7))
+    intercept[IllegalArgumentException](Sampling.sampleExact(docs, "lang", 5, -1))
+    intercept[IllegalArgumentException](
+      Sampling.sampleExact(Sampling.sampleExact(docs, "lang", 5, 7), "lang", 5, 7))
+  }
+
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
     val k = 32
     val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
