@@ -814,6 +814,33 @@ object OpsQueries {
            |FROM (SELECT doc_id, text, regexp_replace(text, '[aeiou]{2,}', '_', 'g') AS s
            |      FROM documents)""".stripMargin))
 
+  /** Exact per-stratum quantiles ([[Quantiles.exactQuantiles]], the
+    * per-language text-length distribution at 250/500/750/990‰): the rank
+    * rule is explicit — smallest value whose cumulative count reaches
+    * ceil(q·total/1000) (percentile_disc semantics) — and the oracle
+    * replays it verbatim over the identical (lang, length) value
+    * distribution, so BOTH engines run the distribution-first shape (the
+    * 100 TB path: one slim value-count shuffle, window over distinct
+    * values) rather than each engine's own interpolating percentile.
+    * `length()` is the char count in both engines on ASCII text (the
+    * shared ASCII-documents condition); q·total stays far inside i64.
+    */
+  private val statsQuantiles = Q(
+    (s, dir) => Quantiles.exactQuantiles(
+      docs(s, dir).withColumn("text_len", length(col("text"))),
+      "lang", "text_len", Seq(250, 500, 750, 990)),
+    Some("""SELECT lang, q AS q_per_mille, v AS text_len
+           |FROM (
+           |  SELECT lang, v, c,
+           |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           |    sum(c) OVER (PARTITION BY lang) AS total
+           |  FROM (SELECT lang, CAST(length(text) AS BIGINT) AS v,
+           |          CAST(count(*) AS BIGINT) AS c
+           |        FROM documents GROUP BY 1, 2)),
+           |  (SELECT CAST(unnest([250, 500, 750, 990]) AS BIGINT) AS q)
+           |WHERE cum >= (q * total + 999) // 1000
+           |  AND cum - c < (q * total + 999) // 1000""".stripMargin))
+
   // ---- distributed BPE trainer ([[graft.ops.Bpe]]) --------------------
 
   /** DuckDB replay of `k` BPE trainer rounds over the generated token
@@ -947,6 +974,7 @@ GROUP BY doc_id"""))
     "text_scrub" -> textScrub,
     "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
+    "stats_quantiles" -> statsQuantiles,
     "bpe_learn" -> bpeLearn,
     "bpe_apply" -> bpeApply,
     "dedup_minhash" -> dedupMinhash,

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-stratum quantiles of an integer-valued column — the
+  * sequence-length distribution report every training pipeline prints
+  * before choosing context windows and packing caps (and the engine's own
+  * bin-sizing input).
+  *
+  * Definition (rank-based, interpolation-free so it is integral and
+  * cross-engine replayable): the q‰ quantile of a stratum with `total`
+  * rows is the SMALLEST value whose cumulative count reaches
+  * `ceil(q × total / 1000)` — percentile_disc semantics, stated
+  * explicitly so both engines compute the identical rule rather than
+  * their own interpolating `percentile`.
+  *
+  * Scale shape: a sort-based exact quantile orders whole strata (one
+  * reducer per stratum at 100 TB). This instead aggregates the VALUE
+  * DISTRIBUTION — one slim (stratum, value, count) shuffle with map-side
+  * combine, bounded by the distinct-value count, not the row count —
+  * then walks it with a cumulative window whose partitions are that same
+  * bounded size, and flags the rank-crossing row per quantile with a
+  * row-local literal-array explode. Validity/size condition: the
+  * distinct values per stratum must be window-sortable (token lengths,
+  * byte sizes, quality scores etc. have small bounded domains; this is
+  * NOT the operator for continuous doubles).
+  */
+object Quantiles {
+
+  /** `(keyCol, q_per_mille, value)` — one row per stratum × quantile.
+    * `qsPerMille` entries must be in [1, 1000] (0 has no smallest-rank
+    * definition; 1000 is the maximum).
+    */
+  def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      qsPerMille: Seq[Int]): DataFrame = {
+    require(qsPerMille.nonEmpty, "qsPerMille must be non-empty")
+    qsPerMille.foreach(q =>
+      require(q >= 1 && q <= 1000, s"quantile out of [1, 1000]‰: $q"))
+    require(qsPerMille.distinct == qsPerMille,
+      s"duplicate quantiles: $qsPerMille")
+    require(!Seq("v", "c", "cum", "total", "q").contains(keyCol),
+      s"keyCol collides with an internal column name: $keyCol")
+    val dist = df.groupBy(col(keyCol), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keyCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    val cum = dist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("total", sum("c").over(wAll))
+    // the q‰ target rank: ceil(q * total / 1000), overflow-free for any
+    // row count Spark can hold (q ≤ 1000, total < 2^63 / 1000); `div` is
+    // integer division on both engines (Spark `/` would go double)
+    val target: Column = expr("(q * total + 999) div 1000")
+    cum
+      .withColumn("q", explode(typedLit(qsPerMille.map(_.toLong))))
+      // the target rank falls inside this value's run ⟺ this is the
+      // smallest value whose cumulative count reaches it
+      .filter(col("cum") >= target && col("cum") - col("c") < target)
+      .select(col(keyCol), col("q").as("q_per_mille"), col("v").as(valCol))
+  }
+}

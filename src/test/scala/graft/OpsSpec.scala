@@ -753,6 +753,47 @@ class OpsSpec extends AnyFunSuite {
       Sampling.sampleExact(Sampling.sampleExact(docs, "lang", 5, 7), "lang", 5, 7))
   }
 
+  test("exact quantiles: rank rule replays, ties, edge quantiles, distribution-first plan") {
+    val qs = Seq(1, 250, 500, 750, 990, 1000)
+    // driver replay of the stated rule: the q‰ quantile is the sorted
+    // value at rank ceil(q·total/1000) (1-based) — multiplicities kept
+    val expected = docs.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).length.toLong))
+      .groupBy(_._1).flatMap { case (lang, xs) =>
+        val vals = xs.map(_._2).sorted
+        qs.map { q =>
+          val target = (q.toLong * vals.length + 999) / 1000
+          (lang, q.toLong) -> vals((target - 1).toInt)
+        }
+      }.toMap
+    val input = docs.withColumn("text_len", length($"text"))
+    val out = Quantiles.exactQuantiles(input, "lang", "text_len", qs)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // exactly one row per stratum × quantile (the rank-crossing filter
+    // can neither drop nor duplicate)
+    assert(out.count() == expected.size)
+    // parallelism-independent
+    assert(Quantiles.exactQuantiles(input.repartition(13), "lang",
+      "text_len", qs).collect().toSet == out.collect().toSet)
+    // distribution-first: the window's input is the aggregated value
+    // distribution, never the row stream (aggregate sits BELOW Window)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(input, "lang", "text_len", Seq.empty))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(input, "lang", "text_len", Seq(0)))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(input, "lang", "text_len", Seq(1001)))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(input, "lang", "text_len", Seq(500, 500)))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantiles(input.withColumnRenamed("lang", "q"),
+        "q", "text_len", qs))
+  }
+
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
     val k = 32
     val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
