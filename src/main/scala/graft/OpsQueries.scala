@@ -944,6 +944,69 @@ FROM (SELECT doc_id, tok,
       FROM it$BpeGateMerges)
 GROUP BY doc_id"""))
 
+  /** Per-document document-frequency profile ([[TextOps.rareTerms]] —
+    * the TF-IDF corpus join kept integral): the oracle rebuilds tf/df
+    * from the same whitespace split and replays the arg-min via DuckDB's
+    * named-struct min (both engines compare (df, term) field-by-field;
+    * term compare is byte order — ASCII-documents condition). The
+    * `sum(tf·df)` fold pins the whole join result, so a single wrong df
+    * anywhere diverges some doc's sum. The tf ⨝ df join must stay
+    * SHUFFLE_HASH with df as build (vocab never broadcasts at 100 TB;
+    * SMJ would sort the probe stream — OpsSpec asserts it).
+    */
+  private val textRareTerms = Q(
+    (s, dir) => TextOps.rareTerms(docs(s, dir)),
+    Some("""WITH tf AS (
+           |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |       FROM tf GROUP BY 1)
+           |SELECT tf.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           |  CAST(sum(tf.tf) AS BIGINT) AS n_terms,
+           |  min({'df': df.df, 'term': tf.term}).term AS rarest_term,
+           |  min(df.df) AS rarest_df,
+           |  CAST(sum(tf.tf * df.df) AS BIGINT) AS tf_df_sum
+           |FROM tf JOIN df USING (term)
+           |GROUP BY 1""".stripMargin))
+
+  /** Event sessionization ([[Sessions.sessionize]], 12-hour gap — the
+    * gate data's median intra-user gap is ~7.7 h, so 12 h yields real
+    * multi-event sessions WITH plenty of boundary cuts at every sf): the
+    * oracle replays the identical lag → flag → running-sum chain under
+    * the (ts, event_id) TOTAL order (don't drop the event_id tie-break
+    * on either side), over epoch microseconds (`unix_micros` ↔
+    * `epoch_us`, both the parquet int64). The per-session id bounds/sum
+    * pin exact membership; all columns integral. The op's whole chain —
+    * lag, cumsum, rollup — must keep riding ONE exchange + ONE sort
+    * (OpsSpec asserts it); don't split the rollup onto its own
+    * (user, session) exchange.
+    */
+  private val eventsSessions = Q(
+    (s, dir) => Sessions.sessionize(
+      s.read.parquet(s"$dir/events.parquet"), gapUs = 43200000000L),
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS t,
+           |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS prev
+           |  FROM events),
+           |s AS (
+           |  SELECT user_id, event_id, t,
+           |    sum(CASE WHEN prev IS NULL OR t - prev > 43200000000
+           |             THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY t, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      - 1 AS session_idx
+           |  FROM e)
+           |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+           |  CAST(sum(event_id) AS BIGINT) AS event_sum
+           |FROM s GROUP BY 1, 2""".stripMargin))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -975,6 +1038,7 @@ GROUP BY doc_id"""))
     "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
     "stats_quantiles" -> statsQuantiles,
+    "text_rare_terms" -> textRareTerms,
     "bpe_learn" -> bpeLearn,
     "bpe_apply" -> bpeApply,
     "dedup_minhash" -> dedupMinhash,
@@ -992,6 +1056,7 @@ GROUP BY doc_id"""))
     "media_frames" -> mediaFrames,
     "media_resize" -> mediaResize,
     "media_features" -> mediaFeatures,
-    "events_hourly" -> eventsHourly
+    "events_hourly" -> eventsHourly,
+    "events_sessions" -> eventsSessions
   )
 }

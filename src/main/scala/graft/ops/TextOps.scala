@@ -182,6 +182,41 @@ object TextOps {
       |    i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))),
       |  0L, (a, b) -> a + b) % 1000000007""".stripMargin
 
+  /** Per-document document-frequency profile — the TF-IDF corpus join
+    * without the floats: each document's rarest term (arg-min of
+    * (df, term) — the deterministic tie-break), its df, the distinct/total
+    * term counts, and the integral `sum(tf·df)` fold that value-pins the
+    * ENTIRE (doc, term) ⨝ df join result (one wrong df anywhere diverges
+    * some document's sum). Callers wanting real tf-idf weights divide by
+    * `ln(N/df)` on top; keeping the gate surface integral is what makes it
+    * cross-engine exact.
+    *
+    * Scale shape: one row-local explode → the (doc_id, term) tf aggregate
+    * (map-side combine; cardinality = Σ distinct terms per doc, not corpus
+    * tokens) → df is a second slim agg ON TOP of tf (no second corpus
+    * scan) → tf ⨝ df on term is pinned SHUFFLE_HASH with the vocab-sized
+    * df side as build: a vocabulary does not broadcast at 100 TB, and SMJ
+    * would sort the probe stream; stopword-skewed probe partitions stream
+    * against a one-row-per-term build map (AQE skew split composes). The
+    * final per-doc rollup is one more slim agg. Overflow bound: each
+    * `tf·df` term needs tf·df < 2^63/terms-per-doc — satisfied for any
+    * corpus below ~2^37 docs at the engine's 2^13-token doc bound.
+    */
+  def rareTerms(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df.hint("SHUFFLE_HASH"), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct_terms"),
+        sum("tf").as("n_terms"),
+        min(struct(col("df"), col("term"))).getField("term").as("rarest_term"),
+        min("df").as("rarest_df"),
+        sum(col("tf") * col("df")).as("tf_df_sum"))
+  }
+
   /** Distinct word n-gram array for `words` (pre-split); docs shorter than
     * n collapse to their whole text as one gram — same degenerate-doc rule
     * as [[Dedup]]'s trigram unit, generalized to any n.

@@ -753,6 +753,86 @@ class OpsSpec extends AnyFunSuite {
       Sampling.sampleExact(Sampling.sampleExact(docs, "lang", 5, 7), "lang", 5, 7))
   }
 
+  test("rare terms: tf/df rollup replays driver-side, df join stays SHUFFLE_HASH") {
+    // driver replay of tf, df and the per-doc rollup
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) =>
+        (id, w, xs.length.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val expected = tf.groupBy(_._1).map { case (id, xs) =>
+      id -> (
+        xs.length.toLong,                                  // n_distinct_terms
+        xs.map(_._3).sum,                                  // n_terms
+        xs.map(x => (df(x._2), x._2)).min._2,              // rarest_term
+        xs.map(x => df(x._2)).min,                         // rarest_df
+        xs.map(x => x._3 * df(x._2)).sum)                  // tf_df_sum
+    }
+    val out = TextOps.rareTerms(docs)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expected)
+    assert(TextOps.rareTerms(docs.repartition(13)).collect().toSet
+      == out.collect().toSet)
+    // the vocab join: SHUFFLE_HASH with df as build, never SMJ/broadcast
+    // (a 100 TB vocabulary neither broadcasts nor deserves a probe sort)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sessionization: gap splits replay driver-side, one exchange + one sort") {
+    val events = spark.read.parquet(s"$dir/events.parquet").cache()
+    // driver replay: per-user (t, event_id)-ordered greedy gap split
+    val rows = events
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def expected(gapUs: Long) = rows.groupBy(_._1).flatMap { case (u, xs) =>
+      val ordered = xs.map(x => (x._3, x._2)).sortBy(identity) // (t, id)
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(ordered.head))
+      ordered.tail.foreach { e =>
+        if (e._1 - sessions.last.last._1 > gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, i.toLong) -> (s.length.toLong, s.last._1 - s.head._1,
+          s.map(_._2).min, s.map(_._2).max, s.map(_._2).sum)
+      }
+    }.toMap
+    def got(df: org.apache.spark.sql.DataFrame, gapUs: Long) =
+      Sessions.sessionize(df, gapUs).collect().map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+    // 12 h (the gate gap: multi-event sessions) and 1 h (mostly singletons)
+    for (gap <- Seq(43200000000L, 3600000000L)) {
+      val e = expected(gap)
+      assert(got(events, gap) == e)
+      // multi-event sessions AND boundary cuts both actually exercised
+      assert(e.valuesIterator.exists(_._1 > 1))
+      assert(e.keysIterator.exists(_._2 > 0))
+      assert(got(events.repartition(13), gap) == e)
+    }
+    // lag + running sum + rollup all ride ONE user_id exchange and ONE
+    // (t, event_id) sort: the second window reuses the first's sort, and
+    // hash partitioning by user_id satisfies the rollup's
+    // (user_id, session_idx) clustered requirement — no agg exchange
+    val plan = Sessions.sessionize(events, 43200000000L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).length == 1, plan)
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    intercept[IllegalArgumentException](Sessions.sessionize(events, 0L))
+  }
+
   test("exact quantiles: rank rule replays, ties, edge quantiles, distribution-first plan") {
     val qs = Seq(1, 250, 500, 750, 990, 1000)
     // driver replay of the stated rule: the q‰ quantile is the sorted

@@ -72,6 +72,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("session windows stream: gap sessions match batch sessionize rollups") {
+    import spark.implicits._
+    // the streaming twin of Sessions.sessionize: Spark's session_window
+    // merges events whose gap is < gap and splits at >= gap, while the
+    // batch op splits strictly-greater — equivalent whenever no
+    // intra-user gap equals the threshold exactly (holds here:
+    // microsecond timestamps; verified 0 boundary-equal gaps)
+    val in = freshDir()
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(3).write.mode("overwrite").parquet(in)
+    val batch = graft.ops.Sessions.sessionize(events, gapUs = 43200000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)) -> r.getLong(2))
+      .toMap // (user, min_event, max_event) -> n_events
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withColumn("t", $"ts".cast("timestamp"))
+      // the delay must cover the files' full event-time disorder (each
+      // file spans the whole range), or late files are DROPPED — size it
+      // to the corpus span, then push the sentinel past delay + gap
+      .withWatermark("t", "36500 days")
+      .groupBy($"user_id", session_window($"t", "12 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_event_id"),
+        max("event_id").as("max_event_id"))
+      .select("user_id", "n_events", "min_event_id", "max_event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    q.processAllAvailable()
+    // append mode only emits sessions the watermark has passed — push it
+    // beyond every real event with a far-future sentinel, then drop it
+    events.orderBy(desc("ts")).limit(1)
+      .withColumn("ts", $"ts" + expr("INTERVAL 36530 DAYS"))
+      .withColumn("user_id", lit(-1L)).withColumn("event_id", lit(-1L))
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM sess_stream")
+      .filter($"user_id" =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)) -> r.getLong(1))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("custom-state bin-packing carries cumulative counts across micro-batches") {
     import org.apache.spark.sql.expressions.Window
     val in = freshDir()
