@@ -249,7 +249,10 @@ object Bench {
     // design exists to absorb. Each rep runs the FULL job (fresh tmp sink,
     // fresh run id) and the sink is deleted after timing, so reps are
     // identical work and disk stays bounded.
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "2").toInt
+    // default 3, not 2: measured back-to-back identical reps on this VM
+    // swing 12.9-51.5s (BASELINE.md round-4 delta) — with two reps a
+    // single bad window still owns the best-of; three rides it out
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PIPE_REPS", "3").toInt
     require(pipeReps >= 1,
       s"SPARK_GRAFT_BENCH_PIPE_REPS must be >= 1 (got $pipeReps)")
     val pipeTokens = Tokens.synthetic(spark, nDocs / 2,
