@@ -556,6 +556,15 @@ object OpsQueries {
   private def bucketDuckSql: String =
     "((doc_id % 4294967296) * 1597334677 % 4294967296) // 65536 % 1000"
 
+  /** DuckDB replay of `Sampling.shuffleKey` — ONE string shared by the
+    * corpus_shuffle and corpus_sample oracles so they can never
+    * desynchronize (a `def`, per the init-order invariant on this
+    * object's helpers). Value-identical to the Spark expression and the
+    * OpsSpec driver replays; touch all or none.
+    */
+  private def shuffleKeyDuckSql(seed: Long): String =
+    s"((doc_id % 4294967296 + $seed) % 4294967296) * 1103515245 % 4294967296"
+
   /** Deterministic train/val/test split ([[Sampling.split]]): 90/5/5 by
     * the doc_id mixing bucket — permanent assignments (appended docs land
     * in bands without moving anyone). The oracle replays the same
@@ -586,16 +595,14 @@ object OpsQueries {
   private val corpusSample = Q(
     (s, dir) => Sampling.sampleExact(docs(s, dir), "lang", n = 70, seed = 7)
       .select(col("doc_id"), col("lang"), col("sample_key"), col("sample_rank")),
-    Some("""SELECT doc_id, lang, CAST(k AS BIGINT) AS sample_key,
-           |  CAST(rn - 1 AS BIGINT) AS sample_rank
-           |FROM (
-           |  SELECT doc_id, lang, k,
-           |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
-           |  FROM (SELECT doc_id, lang,
-           |          ((doc_id % 4294967296 + 7) % 4294967296) * 1103515245
-           |            % 4294967296 AS k
-           |        FROM documents))
-           |WHERE rn <= 70""".stripMargin))
+    Some(s"""SELECT doc_id, lang, CAST(k AS BIGINT) AS sample_key,
+            |  CAST(rn - 1 AS BIGINT) AS sample_rank
+            |FROM (
+            |  SELECT doc_id, lang, k,
+            |    row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+            |  FROM (SELECT doc_id, lang, ${shuffleKeyDuckSql(7)} AS k
+            |        FROM documents))
+            |WHERE rn <= 70""".stripMargin))
 
   /** Deterministic training-order shuffle ([[Sampling.shuffleOrder]],
     * 4 shards, seed 7): the oracle replays the multiplicative hash and
@@ -605,15 +612,13 @@ object OpsQueries {
   private val corpusShuffle = Q(
     (s, dir) => Sampling.shuffleOrder(docs(s, dir), nShards = 4, seed = 7)
       .select(col("doc_id"), col("shard"), col("shuffle_key"), col("shuffle_pos")),
-    Some("""SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
-           |  CAST(k AS BIGINT) AS shuffle_key,
-           |  CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY k, doc_id)
-           |    - 1 AS BIGINT) AS shuffle_pos
-           |FROM (
-           |  SELECT doc_id,
-           |    ((doc_id % 4294967296 + 7) % 4294967296) * 1103515245
-           |      % 4294967296 AS k
-           |  FROM documents)""".stripMargin))
+    Some(s"""SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard,
+            |  CAST(k AS BIGINT) AS shuffle_key,
+            |  CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY k, doc_id)
+            |    - 1 AS BIGINT) AS shuffle_pos
+            |FROM (
+            |  SELECT doc_id, ${shuffleKeyDuckSql(7)} AS k
+            |  FROM documents)""".stripMargin))
 
   /** Gopher-style repetition signals ([[TextOps.repetition]], n=2): the
     * oracle rebuilds the full (non-distinct) bigram stream per doc and

@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   *   - the argmax plans as TakeOrderedAndProject (no global sort),
   *   - the merge rewrite is one codegen'd pass per row.
   * Rounds recompute the merged corpus from the source scan through the
-  * stacked merge kernels (Catalyst collapses them into one projection)
-  * instead of materializing ~corpus-size intermediates each round: at
-  * 100 TB, k extra kernel passes are CPU noise next to writing the corpus
-  * k times; callers that prefer materialization can checkpoint the
-  * returned frame themselves.
+  * stacked merge kernels (Catalyst collapses them into one projection) —
+  * but only up to [[Bpe.CheckpointEvery]] deep: recomputing through r
+  * stacked kernels makes round r cost r kernel passes (Θ(k²) total) and
+  * re-analyzes an ever-growing plan, so every CheckpointEvery rounds the
+  * corpus is materialized through the engine's iterative-loop barrier
+  * (`Dedup.statsBarrier` + `freeCheckpoint`, the CC-loop pattern — a
+  * localCheckpoint re-wrap that also stops Spark 4's originStats
+  * carry-through). Result-invisible (same rows), spec-pinned by the
+  * merged ≡ applyMerges equality in BpeSpec past the boundary.
   */
 object Bpe {
 
@@ -33,6 +37,13 @@ object Bpe {
     * learned ids can never collide with input tokens.
     */
   val NewIdBase: Long = 1L << 31
+
+  /** Materialize the merged corpus every this-many learned merges (see
+    * the object scaladoc). Bounded kernel-stack depth between barriers;
+    * the gate's 6-round run never crosses it, so gate plans are
+    * barrier-free.
+    */
+  val CheckpointEvery: Int = 8
 
   /** One learned merge: replace adjacent (lhs, rhs) with new_id. Field
     * names are the gate query's output columns ("left"/"right" are SQL
@@ -73,6 +84,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var exhausted = false
+    var priorCp: DataFrame = null
     while (r < nMerges && !exhausted) {
       val top = pairCounts(corpus)
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
@@ -84,6 +96,15 @@ object Bpe {
         merges += m
         corpus = applyMerge(corpus, m)
         r += 1
+        if (r % CheckpointEvery == 0 && r < nMerges) {
+          // bound the kernel-stack depth (Θ(k²) otherwise); free the
+          // barrier this one supersedes — never the latest, which the
+          // returned (still-lazy) corpus plan references
+          val (wrapped, cp) = Dedup.statsBarrier(corpus)
+          if (priorCp != null) Dedup.freeCheckpoint(priorCp)
+          priorCp = cp
+          corpus = wrapped
+        }
       }
     }
     (merges.toSeq, corpus)

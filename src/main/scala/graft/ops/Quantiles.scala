@@ -42,7 +42,22 @@ object Quantiles {
       s"duplicate quantiles: $qsPerMille")
     require(!Seq("v", "c", "cum", "total", "q").contains(keyCol),
       s"keyCol collides with an internal column name: $keyCol")
-    val dist = df.groupBy(col(keyCol), col(valCol).cast("long").as("v"))
+    // the rank rule is defined over an integral total order: reject
+    // continuous doubles at plan time (cast("long") would silently
+    // truncate) and nulls at run time (Spark windows sort nulls FIRST,
+    // DuckDB's LAST — a null would shift every quantile differently
+    // across engines instead of failing loudly)
+    df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"exactQuantiles needs an integral value column, got $valCol: ${dt.sql}")
+    }
+    val guardedV = when(col(valCol).isNotNull, col(valCol))
+      .otherwise(raise_error(lit(s"exactQuantiles requires non-null $valCol")))
+    val dist = df.groupBy(col(keyCol), guardedV.cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(keyCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -31,6 +31,20 @@ object Sampling {
   val bucketSql: String =
     "pmod(pmod(pmod(doc_id, 4294967296) * 1597334677, 4294967296) div 65536, 1000)"
 
+  /** The [[shuffleOrder]]/[[sampleExact]] key hash: an overflow-free
+    * multiplicative hash of doc_id + seed over the 2^32 key space
+    * (doc_id reduced mod 2^32 BEFORE the seed add — see shuffleOrder's
+    * scaladoc), guarded to the shared non-negative-doc_id condition.
+    * Mirrored in `OpsQueries.shuffleKeyDuckSql` and the OpsSpec driver
+    * replays — value-identical, touch all or none.
+    */
+  private def shuffleKey(seed: Long, opName: String): Column = {
+    val key = expr(
+      s"pmod(pmod(pmod(doc_id, 4294967296) + $seed, 4294967296) * 1103515245, 4294967296)")
+    when(col("doc_id") >= 0, key)
+      .otherwise(raise_error(lit(s"$opName requires non-negative doc_id")))
+  }
+
   /** `bucketSql` as a column (LongType). */
   def bucket: Column = expr(bucketSql).cast("long")
 
@@ -170,12 +184,8 @@ object Sampling {
         s"input already has a $c column (this operator's output)")
     }
     val KeySpace = 4294967296L // 2^32 — exclusive upper bound of the hash
-    val key = expr(
-      s"pmod(pmod(pmod(doc_id, 4294967296) + $seed, 4294967296) * 1103515245, 4294967296)")
-    val guarded = when(col("doc_id") >= 0, key)
-      .otherwise(raise_error(lit("sampleExact requires non-negative doc_id")))
     val slim = docs.select(col("doc_id"), col(keyCol),
-      guarded.cast("long").as("sample_key"))
+      shuffleKey(seed, "sampleExact").cast("long").as("sample_key"))
 
     // phase 1: stratum sizes (null strata included — Spark groups them)
     val counts: Seq[(Any, Long)] = slim.groupBy(col(keyCol)).count()
@@ -251,10 +261,7 @@ object Sampling {
       require(!docs.columns.contains(c),
         s"input already has a $c column (this operator's output)")
     }
-    val key = expr(
-      s"pmod(pmod(pmod(doc_id, 4294967296) + $seed, 4294967296) * 1103515245, 4294967296)")
-    val guarded = when(col("doc_id") >= 0, key)
-      .otherwise(raise_error(lit("shuffleOrder requires non-negative doc_id")))
+    val guarded = shuffleKey(seed, "shuffleOrder")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("shuffle_key", "doc_id")
     val slim = docs

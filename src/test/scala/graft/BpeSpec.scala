@@ -115,6 +115,26 @@ class BpeSpec extends AnyFunSuite {
     assert(gotCorpus == wantCorpus)
   }
 
+  test("learnMerges crosses the checkpoint barrier result-invisibly") {
+    // past CheckpointEvery rounds the loop re-bases the corpus on a
+    // statsBarrier localCheckpoint (bounding the Θ(k²) kernel-stack
+    // recompute); the learned table and the merged corpus must be
+    // bit-identical to the pure-Scala reference across that boundary
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.tabulate(30)(i =>
+      i.toLong -> Seq.fill(30)(rnd.nextInt(4).toLong))
+    val df = corpus.toDF("doc_id", "tokens")
+    val k = Bpe.CheckpointEvery + 2
+    val (got, merged) = Bpe.learnMerges(df, k)
+    assert(got.size == k) // the data sustained every round; no early stop
+    assert(got == refLearn(corpus.map(_._2), k))
+    val gotCorpus = merged.as[(Long, Seq[Long])].collect().toMap
+    val wantCorpus = corpus.map { case (id, t) =>
+      id -> got.foldLeft(t)((acc, m) => refMerge(acc, m.lhs, m.rhs, m.new_id))
+    }.toMap
+    assert(gotCorpus == wantCorpus)
+  }
+
   test("applyMerges replays a learned table onto a fresh scan bit-identically") {
     val toks = graft.sources.Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"tokens").limit(50)

@@ -860,7 +860,18 @@ class OpsSpec extends AnyFunSuite {
     // distribution-first: the window's input is the aggregated value
     // distribution, never the row stream (aggregate sits BELOW Window)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"))
+    assert(plan.indexOf("Window") >= 0 && plan.indexOf("HashAggregate") >= 0, plan)
+    assert(plan.indexOf("Window") < plan.indexOf("HashAggregate"), plan)
+    // guards: non-integral value column rejected at plan time, null
+    // values rejected at run time (null ordering differs across engines)
+    intercept[IllegalArgumentException](Quantiles.exactQuantiles(
+      input.withColumn("text_len", $"text_len".cast("double")),
+      "lang", "text_len", qs))
+    val withNullV = input.withColumn("text_len",
+      when($"doc_id" % 7 =!= 0, $"text_len"))
+    intercept[Exception] {
+      Quantiles.exactQuantiles(withNullV, "lang", "text_len", qs).collect()
+    }
     intercept[IllegalArgumentException](
       Quantiles.exactQuantiles(input, "lang", "text_len", Seq.empty))
     intercept[IllegalArgumentException](
