@@ -604,6 +604,24 @@ object OpsQueries {
             |        FROM documents))
             |WHERE rn <= 70""".stripMargin))
 
+  /** Per-stratum top-n by score ([[Sampling.topkByScore]], top 50 per
+    * language by n_chars, 32 salts): the oracle ranks FULL strata under
+    * the identical (n_chars DESC, doc_id) total order, so the salted
+    * two-phase prune (phase-1 per-salt local top-n → phase-2 global cut)
+    * is proven result-invisible. Don't drop the doc_id tie-break on
+    * either side (n_chars has real ties), and keep scores non-null (the
+    * op raises on null — null DESC placement differs across engines).
+    */
+  private val corpusTopk = Q(
+    (s, dir) => Sampling.topkByScore(docs(s, dir), "lang", "n_chars", n = 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("topk_rank")),
+    Some("""SELECT doc_id, lang, n_chars, CAST(rn - 1 AS BIGINT) AS topk_rank
+           |FROM (SELECT doc_id, lang, n_chars,
+           |        row_number() OVER (PARTITION BY lang
+           |          ORDER BY n_chars DESC, doc_id) AS rn
+           |      FROM documents)
+           |WHERE rn <= 50""".stripMargin))
+
   /** Deterministic training-order shuffle ([[Sampling.shuffleOrder]],
     * 4 shards, seed 7): the oracle replays the multiplicative hash and
     * the per-shard row_number with the identical (key, doc_id) total
@@ -1035,6 +1053,7 @@ GROUP BY doc_id"""))
     "corpus_split" -> corpusSplit,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_sample" -> corpusSample,
+    "corpus_topk" -> corpusTopk,
     "decontaminate" -> decontaminate,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_cut" -> dedupSpansCut,

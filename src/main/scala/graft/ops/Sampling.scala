@@ -234,6 +234,54 @@ object Sampling {
     docs.join(ranked.hint("SHUFFLE_HASH"), Seq("doc_id"))
   }
 
+  /** Per-stratum top-n by score — "keep the best n documents per
+    * source", the quality-ranked selection every curated training mix
+    * applies (where [[sampleExact]] keeps a UNIFORM n). Deterministic:
+    * the order is (score DESC, doc_id ASC) — a total order, so ties
+    * can't flap between runs — and `topk_rank` is the 0-based position
+    * in it.
+    *
+    * Scale shape: a single per-stratum ranking window sorts whole strata
+    * on one reducer each (the same trap [[sampleExact]] documents), and
+    * unlike a uniform hash there is no cutoff to prune scores against.
+    * Instead the classic salted two phases: phase 1 ranks within
+    * (stratum, doc_id % salts) — `salts` bounded sorts per stratum, each
+    * ~1/salts of the rows — and keeps each salt's local top-n, which
+    * provably contains every global top-n member (a global winner is in
+    * SOME salt class, where fewer than n better rows exist a fortiori);
+    * phase 2 ranks the ≤ n·salts survivors per stratum. Both windows run
+    * on a slim (doc_id, stratum, score) projection; full rows rejoin via
+    * SHUFFLE_HASH — the payload never enters a sort.
+    *
+    * Null scores are rejected at run time (Spark's DESC puts nulls last,
+    * engines disagree in general — loud beats silently divergent ranks).
+    */
+  def topkByScore(docs: DataFrame, keyCol: String, scoreCol: String, n: Int,
+      salts: Int = 32): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    require(salts >= 1, s"salts must be positive: $salts")
+    Seq("topk_rank", "topk_salt").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"input already has a $c column (this operator's output)")
+    }
+    val score = when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(lit(s"topkByScore requires non-null $scoreCol")))
+    val slim = docs.select(col("doc_id"), col(keyCol), score.as(scoreCol),
+      pmod(col("doc_id"), lit(salts.toLong)).as("topk_salt"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("topk_salt"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(scoreCol).desc, col("doc_id"))
+    val ranked = slim
+      .withColumn("topk_rank", row_number().over(w1))
+      .filter(col("topk_rank") <= n)
+      .withColumn("topk_rank", (row_number().over(w2) - 1).cast("long"))
+      .filter(col("topk_rank") < n)
+      .select(col("doc_id"), col("topk_rank"))
+    docs.join(ranked.hint("SHUFFLE_HASH"), Seq("doc_id"))
+  }
+
   /** Deterministic training-order shuffle: each document gets a shard
     * (`doc_id % nShards`) and a pseudo-random position inside it —
     * `row_number` over an overflow-free multiplicative hash of

@@ -885,6 +885,44 @@ class OpsSpec extends AnyFunSuite {
         "q", "text_len", qs))
   }
 
+  test("top-k by score: salting is result-invisible, ranks replay, slim windows") {
+    // driver replay: full per-stratum (score DESC, doc_id) ranking
+    val rows = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def expected(n: Int) = rows.groupBy(_._2).iterator.flatMap { case (lang, xs) =>
+      xs.sortBy(x => (-x._3, x._1)).take(n).zipWithIndex
+        .map { case (x, i) => x._1 -> (lang, x._3, i.toLong) }
+    }.toMap
+    def got(df: org.apache.spark.sql.DataFrame, n: Int, salts: Int) =
+      Sampling.topkByScore(df, "lang", "n_chars", n, salts)
+        .select("doc_id", "lang", "n_chars", "topk_rank").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    // n = 20 prunes; n = 100000 keeps everything; salting never shows
+    for (n <- Seq(20, 100000); salts <- Seq(1, 8, 32)) {
+      assert(got(docs, n, salts) == expected(n), s"n=$n salts=$salts")
+    }
+    assert(got(docs, 100000, 8).size == docs.count())
+    assert(got(docs.repartition(13), 20, 8) == expected(20))
+    // the payload never enters a sort: slim windows + SHUFFLE_HASH rejoin
+    val plan = Sampling.topkByScore(docs, "lang", "n_chars", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // null scores are a loud error, not silently divergent ranks
+    intercept[Exception] {
+      Sampling.topkByScore(
+        docs.withColumn("n_chars", when($"doc_id" % 5 =!= 0, $"n_chars")),
+        "lang", "n_chars", 5).collect()
+    }
+    intercept[IllegalArgumentException](
+      Sampling.topkByScore(docs, "lang", "n_chars", 0))
+    intercept[IllegalArgumentException](
+      Sampling.topkByScore(docs, "lang", "n_chars", 5, salts = 0))
+    intercept[IllegalArgumentException](Sampling.topkByScore(
+      Sampling.topkByScore(docs, "lang", "n_chars", 5), "lang", "n_chars", 5))
+  }
+
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
     val k = 32
     val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
