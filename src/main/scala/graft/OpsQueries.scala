@@ -864,6 +864,33 @@ object OpsQueries {
            |WHERE cum >= (q * total + 999) // 1000
            |  AND cum - c < (q * total + 999) // 1000""".stripMargin))
 
+  /** Per-stratum percentile-rank normalization
+    * ([[Quantiles.percentileRanks]] over (lang, length(text))): every
+    * doc's per-mille rank `(cum·1000) div total` — the integral
+    * cross-stratum score normalization. The oracle replays the identical
+    * distribution-join; same conditions as stats_quantiles (stated rank
+    * rule, `div` ↔ `//`, ASCII length()) plus: the value→rank join must
+    * stay SHUFFLE_HASH with the bounded distribution as build (OpsSpec
+    * asserts it).
+    */
+  private val statsPctRank = Q(
+    (s, dir) => Quantiles.percentileRanks(
+      docs(s, dir).withColumn("text_len", length(col("text"))),
+      "lang", "text_len")
+      .select(col("doc_id"), col("lang"), col("text_len"), col("pct_mille")),
+    Some("""WITH dist AS (
+           |  SELECT lang, v, (cum * 1000) // total AS pct_mille FROM (
+           |    SELECT lang, v,
+           |      sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+           |      sum(c) OVER (PARTITION BY lang) AS total
+           |    FROM (SELECT lang, CAST(length(text) AS BIGINT) AS v,
+           |            CAST(count(*) AS BIGINT) AS c
+           |          FROM documents GROUP BY 1, 2)))
+           |SELECT d.doc_id, d.lang, p.v AS text_len,
+           |  CAST(p.pct_mille AS BIGINT) AS pct_mille
+           |FROM documents d JOIN dist p
+           |  ON d.lang = p.lang AND CAST(length(d.text) AS BIGINT) = p.v""".stripMargin))
+
   // ---- distributed BPE trainer ([[graft.ops.Bpe]]) --------------------
 
   /** DuckDB replay of `k` BPE trainer rounds over the generated token
@@ -1062,6 +1089,7 @@ GROUP BY doc_id"""))
     "text_winnow" -> textWinnow,
     "text_repetition" -> textRepetition,
     "stats_quantiles" -> statsQuantiles,
+    "stats_pct_rank" -> statsPctRank,
     "text_rare_terms" -> textRareTerms,
     "bpe_learn" -> bpeLearn,
     "bpe_apply" -> bpeApply,

@@ -40,31 +40,7 @@ object Quantiles {
       require(q >= 1 && q <= 1000, s"quantile out of [1, 1000]‰: $q"))
     require(qsPerMille.distinct == qsPerMille,
       s"duplicate quantiles: $qsPerMille")
-    require(!Seq("v", "c", "cum", "total", "q").contains(keyCol),
-      s"keyCol collides with an internal column name: $keyCol")
-    // the rank rule is defined over an integral total order: reject
-    // continuous doubles at plan time (cast("long") would silently
-    // truncate) and nulls at run time (Spark windows sort nulls FIRST,
-    // DuckDB's LAST — a null would shift every quantile differently
-    // across engines instead of failing loudly)
-    df.schema(valCol).dataType match {
-      case org.apache.spark.sql.types.ByteType
-         | org.apache.spark.sql.types.ShortType
-         | org.apache.spark.sql.types.IntegerType
-         | org.apache.spark.sql.types.LongType => ()
-      case dt => throw new IllegalArgumentException(
-        s"exactQuantiles needs an integral value column, got $valCol: ${dt.sql}")
-    }
-    val guardedV = when(col(valCol).isNotNull, col(valCol))
-      .otherwise(raise_error(lit(s"exactQuantiles requires non-null $valCol")))
-    val dist = df.groupBy(col(keyCol), guardedV.cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(keyCol).orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(keyCol)
-    val cum = dist
-      .withColumn("cum", sum("c").over(w))
-      .withColumn("total", sum("c").over(wAll))
+    val cum = cumDistribution(df, keyCol, valCol, "exactQuantiles")
     // the q‰ target rank: ceil(q * total / 1000), overflow-free for any
     // row count Spark can hold (q ≤ 1000, total < 2^63 / 1000); `div` is
     // integer division on both engines (Spark `/` would go double)
@@ -75,5 +51,67 @@ object Quantiles {
       // smallest value whose cumulative count reaches it
       .filter(col("cum") >= target && col("cum") - col("c") < target)
       .select(col(keyCol), col("q").as("q_per_mille"), col("v").as(valCol))
+  }
+
+  /** Per-row per-mille percentile rank of `valCol` inside its stratum —
+    * `(cum · 1000) div total` where cum is the count of stratum rows with
+    * value ≤ this row's (so the maximum maps to 1000) — the
+    * score-NORMALIZATION step a curated mix runs before any cross-stratum
+    * cut (raw quality scores aren't comparable across languages; their
+    * per-language percentile ranks are). Integral end to end, so the
+    * whole map is cross-engine replayable.
+    *
+    * Scale shape: the same bounded value-distribution subtree as
+    * [[exactQuantiles]] (slim count shuffle + cumulative window over
+    * DISTINCT values), then one value→rank equi-join back to the rows,
+    * pinned SHUFFLE_HASH with the bounded distribution as build — rows
+    * stream against it; nothing row-sized is ever sorted. Same
+    * integral/non-null/bounded-domain conditions as exactQuantiles.
+    * Output adds `pct_mille` (and a long-cast `valCol`).
+    */
+  def percentileRanks(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    require(!df.columns.contains("pct_mille"),
+      "input already has a pct_mille column (this operator's output)")
+    require(valCol == "v" || !df.columns.contains("v"),
+      "input already has a v column (this operator's internal name)")
+    // cum ≤ total ≤ 2^63/1000 rows — the multiply stays in i64
+    val ranks = cumDistribution(df, keyCol, valCol, "percentileRanks")
+      .select(col(keyCol), col("v"),
+        expr("(cum * 1000) div total").as("pct_mille"))
+    df.withColumn("v", col(valCol).cast("long"))
+      .join(ranks.hint("SHUFFLE_HASH"), Seq(keyCol, "v"))
+      .drop(valCol).withColumnRenamed("v", valCol)
+  }
+
+  /** The shared distribution subtree: `(keyCol, v, c, cum, total)` — one
+    * row per DISTINCT (stratum, value), with the running and total counts
+    * riding one stratum-partitioned window over the bounded table.
+    * Integral-typed values only (cast("long") would silently truncate a
+    * double) and nulls rejected at run time: Spark windows sort nulls
+    * FIRST, DuckDB's LAST — a null would shift every rank differently
+    * across engines instead of failing loudly.
+    */
+  private def cumDistribution(df: DataFrame, keyCol: String, valCol: String,
+      opName: String): DataFrame = {
+    require(!Seq("v", "c", "cum", "total", "q").contains(keyCol),
+      s"keyCol collides with an internal column name: $keyCol")
+    df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$opName needs an integral value column, got $valCol: ${dt.sql}")
+    }
+    val guardedV = when(col(valCol).isNotNull, col(valCol))
+      .otherwise(raise_error(lit(s"$opName requires non-null $valCol")))
+    val dist = df.groupBy(col(keyCol), guardedV.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keyCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    dist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("total", sum("c").over(wAll))
   }
 }

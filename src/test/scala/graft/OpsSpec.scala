@@ -923,6 +923,46 @@ class OpsSpec extends AnyFunSuite {
       Sampling.topkByScore(docs, "lang", "n_chars", 5), "lang", "n_chars", 5))
   }
 
+  test("percentile ranks: per-mille map replays, max hits 1000, bounded-build join") {
+    val input = docs.withColumn("text_len", length($"text"))
+    // driver replay: cum·1000 div total per (lang, len)
+    val data = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).length.toLong))
+    val expected = data.groupBy(_._2).iterator.flatMap { case (_, xs) =>
+      val sorted = xs.map(_._3).sorted
+      val total = sorted.length.toLong
+      xs.map { case (id, _, len) =>
+        val cum = sorted.count(_ <= len).toLong
+        id -> (len, cum * 1000 / total)
+      }
+    }.toMap
+    val out = Quantiles.percentileRanks(input, "lang", "text_len")
+    val got = out.select("doc_id", "text_len", "pct_mille").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.size == docs.count())
+    // the per-stratum maximum maps to exactly 1000
+    assert(got.values.map(_._2).max == 1000L)
+    assert(Quantiles.percentileRanks(input.repartition(13), "lang", "text_len")
+      .select("doc_id", "text_len", "pct_mille").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == expected)
+    // value→rank join: SHUFFLE_HASH against the bounded distribution,
+    // never a probe-stream sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    intercept[IllegalArgumentException](Quantiles.percentileRanks(
+      input.withColumn("text_len", $"text_len".cast("double")),
+      "lang", "text_len"))
+    intercept[IllegalArgumentException](Quantiles.percentileRanks(
+      input.withColumn("v", lit(1)), "lang", "text_len"))
+    intercept[Exception] {
+      Quantiles.percentileRanks(
+        input.withColumn("text_len", when($"doc_id" % 7 =!= 0, $"text_len")),
+        "lang", "text_len").collect()
+    }
+  }
+
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {
     val k = 32
     val toks = graft.sources.Tokens.synthetic(spark, 80).cache()
