@@ -63,26 +63,22 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("u256_to_d128",
       exprs => U256ToDecimal128(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinhashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+      exprs => MinhashSignature(exprs(0), litInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => Simhash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("sig_agree",
       exprs => SigAgree(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+      exprs => ShingleHashes(exprs(0), litInt(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("cut_spans",
-      exprs => CutSpans(exprs(0), exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]), "scala_udf")
+      exprs => CutSpans(exprs(0), exprs(1), litInt(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_normalize",
       exprs => VecNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",
-      exprs => HyperplaneBuckets(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int],
-        exprs(2).eval(null).asInstanceOf[Int]), "scala_udf")
+      exprs => HyperplaneBuckets(exprs(0), litInt(exprs(1)),
+        litInt(exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_merge",
       exprs => BpeMerge(exprs(0), litLong(exprs(1)), litLong(exprs(2)),
         litLong(exprs(3))), "scala_udf")
@@ -92,14 +88,30 @@ object GraftFunctions {
 
   /** Fold a literal parameter expression to Long (SQL integer literals
     * parse as Int below 2^31, the Column API passes Long — accept both).
+    * Foldability is checked FIRST: eval(null) on a non-foldable argument
+    * (e.g. `bpe_merge(tokens, some_col, …)`) would surface as an opaque
+    * BoundReference NPE instead of a clear "literal required" error.
     */
-  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+  private def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    require(e.foldable, s"expected an integer literal argument, " +
+      s"got a non-literal expression: ${e.sql}")
     e.eval(null) match {
       case l: java.lang.Long => l
       case i: java.lang.Integer => i.toLong
       case other => throw new IllegalArgumentException(
-        s"expected an integer literal, got $other")
+        s"expected an integer literal, got $other (from ${e.sql})")
     }
+  }
+
+  /** Int variant for bounded parameters (signature counts, shingle sizes,
+    * plane/table counts) — same foldability-first contract as [[litLong]].
+    */
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    val l = litLong(e)
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"integer parameter out of Int range: $l (from ${e.sql})")
+    l.toInt
+  }
 
   def encode_tokens(tokens: Column, codec: String): Column =
     call_function("encode_tokens", tokens, org.apache.spark.sql.functions.lit(codec))

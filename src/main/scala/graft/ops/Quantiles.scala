@@ -74,13 +74,25 @@ object Quantiles {
       "input already has a pct_mille column (this operator's output)")
     require(valCol == "v" || !df.columns.contains("v"),
       "input already has a v column (this operator's internal name)")
+    Seq("__qk", "__qv").foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column (this operator's internal name)"))
     // cum ≤ total ≤ 2^63/1000 rows — the multiply stays in i64
+    // (distribution side renamed so the rejoin can use an explicit
+    // null-SAFE key equality: a null stratum is a real group — the window
+    // ranks it — and the plain equi-join used to drop its rows silently,
+    // against the op family's loud-or-correct convention on nulls)
     val ranks = cumDistribution(df, keyCol, valCol, "percentileRanks")
-      .select(col(keyCol), col("v"),
+      .select(col(keyCol).as("__qk"), col("v").as("__qv"),
         expr("(cum * 1000) div total").as("pct_mille"))
-    df.withColumn("v", col(valCol).cast("long"))
-      .join(ranks.hint("SHUFFLE_HASH"), Seq(keyCol, "v"))
-      .drop(valCol).withColumnRenamed("v", valCol)
+    val joined = df.withColumn("v", col(valCol).cast("long"))
+      .join(ranks.hint("SHUFFLE_HASH"),
+        col(keyCol) <=> col("__qk") && col("v") === col("__qv"))
+      .drop("__qk", "__qv")
+    // valCol == "v" is permitted: then the long-cast "v" IS the value
+    // column already and the drop/rename identity must be skipped (it used
+    // to drop the join column and silently lose the values)
+    if (valCol == "v") joined
+    else joined.drop(valCol).withColumnRenamed("v", valCol)
   }
 
   /** The shared distribution subtree: `(keyCol, v, c, cum, total)` — one

@@ -961,6 +961,28 @@ class OpsSpec extends AnyFunSuite {
         input.withColumn("text_len", when($"doc_id" % 7 =!= 0, $"text_len")),
         "lang", "text_len").collect()
     }
+    // valCol == "v" is explicitly permitted: the output must keep the value
+    // column (an identity drop/rename used to silently lose it)
+    val asV = Quantiles.percentileRanks(
+      input.withColumnRenamed("text_len", "v"), "lang", "v")
+    assert(asV.columns.contains("v") && asV.columns.contains("pct_mille"))
+    assert(asV.select("doc_id", "v", "pct_mille").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == expected)
+    // a null stratum is a ranked group, not silently dropped rows: the
+    // value→rank rejoin is null-SAFE on the stratum key
+    val nullStratum = input.withColumn("lang",
+      when($"doc_id" % 3 =!= 0, $"lang"))
+    val nGot = Quantiles.percentileRanks(nullStratum, "lang", "text_len")
+    assert(nGot.count() == input.count())
+    val nullExpected = data.map { case (id, lang, len) =>
+      (id, if (id % 3 == 0) null else lang, len)
+    }.groupBy(_._2).iterator.flatMap { case (_, xs) =>
+      val sorted = xs.map(_._3).sorted
+      xs.map { case (id, _, len) =>
+        id -> sorted.count(_ <= len).toLong * 1000 / sorted.length }
+    }.toMap
+    assert(nGot.select("doc_id", "pct_mille").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == nullExpected)
   }
 
   test("vocab remap: top-k ranks and OOV fold replay exactly, top-k stays distributed") {

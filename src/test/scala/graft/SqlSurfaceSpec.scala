@@ -46,4 +46,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .selectExpr("doc_id", "hex(ev.h) AS h", "ev.n AS n").collect()
     assert(ev.length == 5 && ev.forall(_.getString(1).length == 8))
   }
+
+  test("literal-required function parameters fail loudly on column arguments") {
+    graft.functions.GraftFunctions.register(spark)
+    Tokens.fromDocuments(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("tokens_lit_v")
+    // a column where a literal is required must raise a clear
+    // "literal"-mentioning error at plan time, not an opaque
+    // BoundReference NPE from eval(null)
+    for (q <- Seq(
+        "SELECT bpe_merge(tokens, doc_id, 2, 3) FROM tokens_lit_v",
+        "SELECT minhash_signature(tokens, doc_id) FROM tokens_lit_v",
+        "SELECT hyperplane_buckets(CAST(tokens AS ARRAY<DOUBLE>), doc_id, 1) FROM tokens_lit_v")) {
+      val e = intercept[Exception](spark.sql(q).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.toLowerCase.contains("literal")), e.toString)
+    }
+  }
 }
