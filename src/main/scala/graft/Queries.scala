@@ -64,14 +64,19 @@ object Queries {
     (s, dir) => tokens(s, dir).select("source").distinct(),
     Some("SELECT DISTINCT source FROM documents"))
 
-  /** O1: global sort + top-k with a deterministic tiebreak. */
+  /** O1: global sort + top-k with a deterministic tiebreak. The rank over
+    * the 100 survivors goes through the two-phase
+    * [[graft.ops.Ranks.globalRowNumber]] — a bare `Window.orderBy` would
+    * be a single-partition window (warning noise at this k, a real
+    * bottleneck at large k).
+    */
   private val sortTopk = Q(
-    (s, dir) => tokens(s, dir)
-      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
-      .orderBy(col("n_tok").desc, col("doc_id"))
-      .limit(100)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_tok").desc, col("doc_id"))).cast("long")),
+    (s, dir) => graft.ops.Ranks.globalRowNumber(
+      tokens(s, dir)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+        .limit(100),
+      Seq(col("n_tok").desc, col("doc_id")), "rank"),
     Some(s"""SELECT doc_id, n_tok,
             |  CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank
             |FROM (SELECT doc_id, CAST(${Tokens.nTokSql("doc_id")} AS BIGINT) AS n_tok FROM documents)

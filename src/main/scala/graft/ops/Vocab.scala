@@ -26,15 +26,17 @@ object Vocab {
   /** Top-`k` vocabulary ranked by (freq DESC, tok ASC) — a total order, so
     * both the membership cut at `k` and the ranks are deterministic and
     * SQL-replayable. `rank` is 0-based; id `k` is reserved for OOV.
+    * Ranking uses [[Ranks.globalRowNumber]] (two-phase, never a
+    * single-partition window): at a real 32k–1M vocabulary a global
+    * `Window.orderBy` would sort all k survivors on one task.
     */
   def rankTable(tokens: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"vocab size k must be positive: $k")
-    tokens.select(explode(col("tokens")).as("tok"))
+    val topk = tokens.select(explode(col("tokens")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc).limit(k)
-      .withColumn("rank",
-        (row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)) - 1)
-          .cast("long"))
+    Ranks.globalRowNumber(topk, Seq(col("freq").desc, col("tok").asc), "rank")
+      .withColumn("rank", col("rank") - 1)
   }
 
   /** Remap every document through the top-`k` rank table (misses → OOV id

@@ -38,7 +38,9 @@ class BenchSpec extends AnyFunSuite {
       full = full, low = low, sfDir = "/tmp/sf", nTok = 1000000L,
       encBytes = 1455600L, thrLow = 1e6 / 7.0, thrFull = 5e5,
       efficiency = 0.7, spinEff = 0.75, lowCpus = 8, cpus = 32,
-      pipeSummary = summary, pipeSecs = 3.0, isolation = "taskset-child-jvm")
+      pipeSummary = summary, pipeSecs = 3.0, isolation = "taskset-child-jvm",
+      queryReps = Seq("q1" -> Seq(0.6, 0.5, 2.0), "q2" -> Seq(1.25)),
+      pipelineReps = Seq(3.5, 3.0, 9.75), passSpin = Seq(0.04, 0.05, 0.12))
     val row = spark.read.json(Seq(json).toDS).collect()(0)
     val d = row.getAs[org.apache.spark.sql.Row]("queries")
     assert(d.getAs[Double]("q1") == 0.5 && d.getAs[Double]("encode_pipeline") == 3.0)
@@ -46,6 +48,14 @@ class BenchSpec extends AnyFunSuite {
     assert(row.getAs[Long]("tokens") == 1000000L)
     assert(row.getAs[org.apache.spark.sql.Row]("scaling")
       .getAs[Double]("normalized_efficiency") == 0.933)
+    // round-5 volatility fields: the per-rep trail behind each best-of and
+    // the per-pass machine spin samples survive the JSON roundtrip
+    assert(row.getAs[org.apache.spark.sql.Row]("query_reps")
+      .getAs[scala.collection.Seq[Double]]("q1").toSeq == Seq(0.6, 0.5, 2.0))
+    assert(row.getAs[scala.collection.Seq[Double]]("pipeline_reps").toSeq
+      == Seq(3.5, 3.0, 9.75))
+    assert(row.getAs[scala.collection.Seq[Double]]("pass_spin").toSeq
+      == Seq(0.04, 0.05, 0.12))
     // every-pipeline-rep-failed: fields go 0, encode_pipeline leaves the map
     val dead = Bench.benchJson(
       queryTimes = Seq("q1" -> 0.5), errors = Seq("encode_pipeline"),

@@ -17,6 +17,66 @@ class OpsSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
   private lazy val embeds = spark.read.parquet(s"$dir/embeddings.parquet").cache()
 
+  /** Every WindowExecBase in the (pre-execution) physical plan, traversing
+    * AQE wrapper nodes — used to assert no operator plans a
+    * data-sized single-partition window ("No Partition Defined").
+    */
+  private def windowPartitionSpecs(df: org.apache.spark.sql.DataFrame)
+      : Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExecBase =>
+          Seq(w.partitionSpec)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(walk) ++
+        p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def assertNoGlobalWindow(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val empty = windowPartitionSpecs(df).filter(_.isEmpty)
+    assert(empty.isEmpty,
+      s"$what plans ${empty.size} single-partition window(s) (No Partition Defined)")
+  }
+
+  test("global row-number: two-phase rank ≡ driver sort, no global window") {
+    val rnd = new scala.util.Random(20260818L)
+    // real ties in the first key: the doc_id tie-break makes the order total
+    val rows = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(20).toLong))
+    val df = rows.toDF("doc_id", "score").repartition(7)
+    val ranked = Ranks.globalRowNumber(
+      df, Seq($"score".desc, $"doc_id"), "rank")
+    val got = ranked.select("doc_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+    assert(ranked.columns.toSeq == Seq("doc_id", "score", "rank"))
+    assertNoGlobalWindow(ranked, "globalRowNumber")
+    // empty input stays empty; column-collision and no-order guards fire
+    assert(Ranks.globalRowNumber(df.filter(lit(false)),
+      Seq($"doc_id"), "rank").count() == 0)
+    intercept[IllegalArgumentException](
+      Ranks.globalRowNumber(df, Seq.empty, "rank"))
+    intercept[IllegalArgumentException](
+      Ranks.globalRowNumber(df.withColumn("__rk_pid", lit(1)), Seq($"doc_id"), "r"))
+  }
+
+  test("vocab_remap and sort_topk plan no single-partition windows") {
+    val sf = "/root/testdata/sf0.001"
+    assertNoGlobalWindow(SparkEntry.queries("vocab_remap")(spark, sf), "vocab_remap")
+    assertNoGlobalWindow(SparkEntry.queries("sort_topk")(spark, sf), "sort_topk")
+  }
+
   test("minhash estimate tracks exact trigram jaccard on duplicated docs") {
     // append exact + near duplicates of the first docs
     val dups = docs.filter($"doc_id" < 10)
