@@ -346,12 +346,36 @@ object OpsQueries {
            |  FROM p JOIN c ON p.vec_id != c.vec_id)
            |WHERE rank = 1""".stripMargin))
 
+  /** LSH top-k in the EXHAUSTIVE-bucket regime (r5 promotion, same
+    * playbook as ann_ivf_topk's exhaustive probe sweep and dedup_embed's
+    * planes = 0): zero hyperplanes and one table put every vector in one
+    * bucket, so the candidate set is all pairs and the result provably
+    * equals brute-force top-k — which the SQL oracle replays directly —
+    * while still exercising the full LSH machinery (bucket expression,
+    * index explode, candidate join, dedup, exact rerank). Validity
+    * condition (shared with ann_ivf_topk, re-check if testdata
+    * regenerates): Spark ranks normalize-then-dot in double while DuckDB
+    * ranks list_cosine_similarity on the raw vectors — a pair of
+    * neighbors within fp error of a rank boundary could flip order; the
+    * current gate data has no such near-ties (the same rank rule already
+    * hash-matches for ann_ivf_topk and ann_brute_top1 at sf0.01 and
+    * sf0.1). The approximate path (planes = 4) stays recall-asserted in
+    * OpsSpec.
+    */
   private val annLsh = Q(
     (s, dir) => {
       val e = embeds(s, dir)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 20), k = 3, planes = 4)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 20), k = 3,
+        planes = 0, tables = 1)
     },
-    None) // approximate: recall vs brute force asserted in OpsSpec
+    Some("""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+           |SELECT probe_id, rank, nbr_id FROM (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+           |    CAST(row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS BIGINT) AS rank
+           |  FROM p JOIN c ON p.vec_id != c.vec_id)
+           |WHERE rank <= 3""".stripMargin))
 
   /** IVF with an EXHAUSTIVE probe sweep (nProbes = nCentroids): every
     * inverted list is probed, so the result provably equals brute-force

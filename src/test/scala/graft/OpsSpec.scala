@@ -195,6 +195,14 @@ class OpsSpec extends AnyFunSuite {
     // are LSH's worst case, but recall must sit far above the single-bucket
     // random baseline (1/16 of the corpus ≈ 6%).
     assert(recall > 0.4, s"recall $recall")
+    // exhaustive regime (the ann_lsh_topk gate promotion, r5): zero planes
+    // and one table ⇒ one bucket ⇒ all-pairs candidates ⇒ ranked output is
+    // EXACTLY brute force, including the rank column
+    val exhaustive = Ann.lshTopK(embeds, probes, k = 5, planes = 0, tables = 1)
+      .select($"probe_id", $"rank", $"nbr_id").collect().toSet
+    val bruteRanked = Ann.bruteForceTopK(embeds, probes, k = 5)
+      .select($"probe_id", $"rank", $"nbr_id").collect().toSet
+    assert(exhaustive == bruteRanked)
   }
 
   test("ivf recall vs brute force; full probe sweep degrades to exact") {
