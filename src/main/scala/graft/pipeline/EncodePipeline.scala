@@ -86,6 +86,23 @@ object EncodePipeline {
                                // identity columns (source, part_stub) always
                                // lead the sort so files stay contiguous per
                                // directory regardless of the user order.
+      overwrite: Boolean = false, // reference --overwrite (freeze.rs:96-99,
+                               // types/files.rs:16): recompute and
+                               // SUPERSEDE committed part_keys instead of
+                               // skipping them — the routine re-run after a
+                               // codec/config change, without deleting the
+                               // sink. The run re-commits every planned key
+                               // under a new (higher) run_id; readers
+                               // resolve the latest run per part_key, so
+                               // they see exactly the new data; fully-
+                               // superseded runs become reclaimable via
+                               // ManifestSink.gcSuperseded. Geometry stays
+                               // pinned (same part_keys ⇒ exact key-level
+                               // supersession). Single-run operation: with
+                               // maxPartitionsPerRun only the re-committed
+                               // subset supersedes (runAll refuses
+                               // overwrite — a resume wave after an
+                               // overwrite wave would skip stale keys).
       dryRun: Boolean = false, // reference --dry (freeze.rs:43-46): plan the
                                // run — geometry, resume accounting,
                                // planned/skipped/deferred counts, todo
@@ -140,6 +157,7 @@ object EncodePipeline {
         s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
         s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
         s""""broadcast_key_limit":$broadcastKeyLimit,"strict_resume":$strictResume,""" +
+        s""""overwrite":$overwrite,""" +
         s""""label":"${esc(label)}",""" +
         s""""sort_columns":[${sortColumns.map(c => "\"" + esc(c) + "\"").mkString(",")}],""" +
         s""""reorg_buffer":$reorgBuffer}"""
@@ -238,7 +256,9 @@ object EncodePipeline {
     val cfg = cfg0.validated
     GraftFunctions.register(spark)
     val t0 = System.nanoTime()
-    val runId = f"run-${ManifestSink.committedRunIds(cfg.outDir).size}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+    // monotonic index (max committed + 1, ManifestSink.nextRunId): the
+    // lexicographic run order is what overwrite supersession resolves on
+    val runId = ManifestSink.nextRunId(cfg.outDir)
     // in-flight marker BEFORE any work (reference incomplete_<ts>.json,
     // reports.rs:41-48): cleared when the attempt reaches a terminal state
     // (commit marker or error report below), so a marker that survives ==
@@ -338,7 +358,11 @@ object EncodePipeline {
     }
 
     phase("salt_resolve")
-    val committedMan = ManifestSink.committedManifest(spark, cfg.outDir)
+    // CURRENT view (latest run per part_key): on an append-only sink this
+    // is the committed manifest verbatim; after an overwrite it is the
+    // supersession view, so the drift guard below compares against the
+    // winning run's doc counts, not a double-counting sum over history
+    val committedMan = ManifestSink.currentManifest(spark, cfg.outDir)
     val committedKeysDf = committedMan.select("part_key").distinct()
     val nCommitted = committedKeysDf.count()
 
@@ -350,13 +374,19 @@ object EncodePipeline {
     val plannedParts = plan(tokens, cfg, salts).persist(StorageLevel.MEMORY_AND_DISK)
     val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
-    // resume: skip already-committed partitions (freeze.rs:96-109 analog)
+    // resume: skip already-committed partitions (freeze.rs:96-109 analog);
+    // overwrite (freeze.rs:96-99 --overwrite) recomputes them all instead —
+    // the re-committed keys supersede via the reader's latest-run-per-key
+    // resolution, so no anti-join and no drift guard (re-encoding after an
+    // input/config change is the point)
     phase("plan_persist")
-    var todoKeys = resumeAntiJoin(plannedKeys, committedKeysDf, nCommitted,
-      cfg.broadcastKeyLimit)
+    var todoKeys =
+      if (cfg.overwrite) plannedKeys
+      else resumeAntiJoin(plannedKeys, committedKeysDf, nCommitted,
+        cfg.broadcastKeyLimit)
     // fresh sink (nothing committed): the anti-join is an identity, so the
     // todo count equals the planned count — skip the extra job
-    val nTodo = if (nCommitted == 0) nPlanned else todoKeys.count()
+    val nTodo = if (cfg.overwrite || nCommitted == 0) nPlanned else todoKeys.count()
     val nSkipped = nPlanned - nTodo // previously committed (≠ deferred below)
 
     if (cfg.strictResume && nSkipped > 0) {
@@ -561,6 +591,12 @@ object EncodePipeline {
 
   /** Run to completion (multiple bounded runs if maxPartitionsPerRun set). */
   def runAll(spark: SparkSession, tokens: DataFrame, cfg: Config): Seq[RunSummary] = {
+    // a resume wave after a bounded overwrite wave would anti-join against
+    // ALL committed keys — including the stale ones the overwrite hadn't
+    // reached yet — and silently leave them un-recomputed
+    require(!cfg.overwrite,
+      "overwrite is a single-run operation (all planned keys recomputed in " +
+        "one run); call run() directly")
     val out = scala.collection.mutable.ArrayBuffer.empty[RunSummary]
     var done = false
     while (!done) {

@@ -70,6 +70,27 @@ object ManifestSink {
     out.toSeq.sorted
   }
 
+  /** Next run id for this sink: `run-<idx>-<uuid8>` with a MONOTONIC index
+    * (max committed index + 1, never reusing a lower index after
+    * [[gcSuperseded]] deletes old markers). The index gives committed runs
+    * a lexicographic total order, which is what makes "latest run wins a
+    * part_key" ([[currentManifest]]) well defined — overwrite supersession
+    * rides on it. Bounds: indices stay zero-padded to 5 digits, so the
+    * order holds through 100k committed runs per sink (documented bound;
+    * a sink outliving it needs a fresh root). Concurrent runs can draw the
+    * same index — their order then falls to the uuid suffix, which is
+    * deterministic but arbitrary; concurrent OVERWRITE runs against one
+    * sink are unsupported (same posture as the plan-geometry pin race).
+    */
+  def nextRunId(root: String): String = {
+    val re = """run-(\d+)-.*""".r
+    val maxIdx = committedRunIds(root).foldLeft(-1) {
+      case (m, re(i)) => math.max(m, i.toInt)
+      case (m, _) => m
+    }
+    f"run-${maxIdx + 1}%05d-${java.util.UUID.randomUUID.toString.take(8)}"
+  }
+
   /** Above this many committed runs the manifest filter switches from a
     * static `isin` literal (O(runs) expression tree) to a semi-join
     * against a runs DataFrame.
@@ -112,9 +133,70 @@ object ManifestSink {
     }
   }
 
+  /** CURRENT manifest rows: per part_key, the row of the latest committed
+    * run (max run_id under the [[nextRunId]] lexicographic order). On an
+    * append-only sink this is identical to [[committedManifest]] (resume
+    * keeps part_keys unique across runs); after an overwrite run it is the
+    * supersession view — the re-committed keys resolve to the overwriting
+    * run, the rest to their original run. One slim metadata shuffle
+    * (groupBy part_key with a struct-max, never a window/sort), so the
+    * cost stays manifest-scale at any corpus size. Deterministic even if
+    * two runs collide on (part_key, run_id) — the struct max tie-breaks on
+    * the remaining columns field-by-field.
+    */
+  def currentManifest(spark: SparkSession, root: String,
+      isinRunLimit: Int = IsinRunLimit): DataFrame = {
+    val man = committedManifest(spark, root, isinRunLimit)
+    // run_id leads the struct so the max ranks on it first
+    val valCols = ManifestSchemaCols.filterNot(c => c == "part_key" || c == "run_id")
+    man.groupBy("part_key")
+      .agg(max(struct((col("run_id") +: valCols.map(col)): _*)).as("w"))
+      .select(col("part_key") +:
+        ManifestSchemaCols.filterNot(_ == "part_key").map(c => col(s"w.$c").as(c)): _*)
+      // restore the canonical column order
+      .select(ManifestSchemaCols.map(col): _*)
+  }
+
+  /** Committed run ids every one of whose manifest part_keys has been
+    * re-committed by a later (overwrite) run — fully superseded: no reader
+    * can see any of their rows, so their bytes are reclaimable via
+    * [[gcSuperseded]]. Runs with zero manifest rows (empty commits) are
+    * never classified superseded — their commit report is history, not
+    * data. Driver-side set sizes are bounded by the run count.
+    */
+  def supersededRunIds(spark: SparkSession, root: String): Seq[String] = {
+    if (committedRunIds(root).size <= 1) return Seq.empty
+    val all = committedManifest(spark, root).select("run_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val live = currentManifest(spark, root).select("run_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    (all -- live).toSeq.sorted
+  }
+
+  /** Reclaim fully-superseded runs' bytes: data files, manifest dirs, and
+    * finally the commit markers. Crash-safe order — data first, marker
+    * last, so an interrupted GC leaves the run still classified superseded
+    * and the next call finishes the job; deleting the marker last also
+    * means readers (who resolve winners per part_key) never observe a
+    * half-deleted state. Idempotent.
+    */
+  def gcSuperseded(spark: SparkSession, root: String): GcReport = {
+    val dead = supersededRunIds(spark, root)
+    val dataFiles = deleteDataFilesForRuns(spark, root, dead)
+    var manifestDirs = 0
+    dead.foreach { id =>
+      val d = Paths.get(manifestDir(root), s"run_id=$id")
+      if (Files.isDirectory(d)) { deleteTree(d); manifestDirs += 1 }
+    }
+    dead.foreach(id => Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
+    GcReport(dataFiles, manifestDirs, 0, 0)
+  }
+
   /** Committed encoded rows (snapshot read): data semi-joined against the
-    * committed (part_key, run_id) pairs, so orphans from crashed runs are
-    * invisible and re-encoded partitions appear exactly once.
+    * CURRENT (part_key, run_id) pairs — latest committed run per part_key
+    * ([[currentManifest]]) — so orphans from crashed runs are invisible,
+    * re-encoded partitions appear exactly once, and an overwrite run's
+    * rows shadow the runs it superseded.
     *
     * Size-guarded like the resume anti-join (both directions of
     * freeze.rs:96-109's skip-existing semantics): the committed pair set
@@ -126,7 +208,7 @@ object ManifestSink {
     */
   def readCommitted(spark: SparkSession, root: String,
       broadcastKeyLimit: Long = 1L << 20): DataFrame = {
-    val committed = committedManifest(spark, root).select("part_key", "run_id")
+    val committed = currentManifest(spark, root).select("part_key", "run_id")
     if (!Files.isDirectory(Paths.get(dataDir(root)))) {
       // nothing ever (successfully) written — e.g. every attempt so far
       // errored before its first file landed
@@ -330,35 +412,7 @@ object ManifestSink {
       if (old) idOf(m) else None
     }
     val dead = (erroredIds ++ staleInflightIds).toSet -- committed
-    var dataFiles = 0
-    if (dead.nonEmpty && Files.isDirectory(Paths.get(dataDir(root)))) {
-      import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
-      // explicit schema: no inference, so a dataDir holding only
-      // _temporary residue (or nothing — GC is idempotent and the dead
-      // set never shrinks, error reports being permanent) reads as empty
-      // instead of throwing
-      val df0 = spark.read.schema(DataSchema).parquet(dataDir(root))
-      // same size guard as committedManifest: the errored-id set grows
-      // without bound over a sink's lifetime, and an In-literal over
-      // thousands of ids is a plan-size killer
-      val deadSeq = dead.toSeq.sorted
-      val matched =
-        if (deadSeq.size <= IsinRunLimit) df0.filter(col("run_id").isin(deadSeq: _*))
-        else {
-          import spark.implicits._
-          df0.join(broadcast(deadSeq.toDF("run_id")), Seq("run_id"), "left_semi")
-        }
-      val files = matched.select(input_file_name()).distinct().collect()
-        .map(_.getString(0))
-      files.foreach { f =>
-        // Spark 4's input_file_name returns a URI form (URL-encoded);
-        // decode through java.net.URI so escapable path chars resolve
-        val p =
-          try java.nio.file.Paths.get(new java.net.URI(f))
-          catch { case _: Exception => Paths.get(f.stripPrefix("file:")) }
-        if (Files.deleteIfExists(p)) dataFiles += 1
-      }
-    }
+    val dataFiles = deleteDataFilesForRuns(spark, root, dead.toSeq.sorted)
     var manifestDirs = 0
     dead.foreach { id =>
       val d = Paths.get(manifestDir(root), s"run_id=$id")
@@ -388,6 +442,45 @@ object ManifestSink {
       }
     }
     GcReport(dataFiles, manifestDirs, markers, tempDirs)
+  }
+
+  /** Delete the data files of the given run ids (found by a column-pruned
+    * distributed scan of the data set's run_id column — the only way to
+    * map files to runs, since data partitions by (source, part_stub), not
+    * run). Shared by [[gcOrphans]] (dead attempts) and [[gcSuperseded]]
+    * (overwritten runs). Returns the number of files deleted.
+    */
+  private def deleteDataFilesForRuns(spark: SparkSession, root: String,
+      deadSeq: Seq[String]): Int = {
+    var dataFiles = 0
+    if (deadSeq.nonEmpty && Files.isDirectory(Paths.get(dataDir(root)))) {
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+      // explicit schema: no inference, so a dataDir holding only
+      // _temporary residue (or nothing — GC is idempotent and the dead
+      // set never shrinks, error reports being permanent) reads as empty
+      // instead of throwing
+      val df0 = spark.read.schema(DataSchema).parquet(dataDir(root))
+      // same size guard as committedManifest: the errored-id set grows
+      // without bound over a sink's lifetime, and an In-literal over
+      // thousands of ids is a plan-size killer
+      val matched =
+        if (deadSeq.size <= IsinRunLimit) df0.filter(col("run_id").isin(deadSeq: _*))
+        else {
+          import spark.implicits._
+          df0.join(broadcast(deadSeq.toDF("run_id")), Seq("run_id"), "left_semi")
+        }
+      val files = matched.select(input_file_name()).distinct().collect()
+        .map(_.getString(0))
+      files.foreach { f =>
+        // Spark 4's input_file_name returns a URI form (URL-encoded);
+        // decode through java.net.URI so escapable path chars resolve
+        val p =
+          try java.nio.file.Paths.get(new java.net.URI(f))
+          catch { case _: Exception => Paths.get(f.stripPrefix("file:")) }
+        if (Files.deleteIfExists(p)) dataFiles += 1
+      }
+    }
+    dataFiles
   }
 
   private def deleteTree(p: Path): Unit = {

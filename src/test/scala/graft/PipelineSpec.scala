@@ -569,4 +569,90 @@ class PipelineSpec extends AnyFunSuite {
       EncodePipeline.Config(outDir = out, label = "a/b").validated
     }
   }
+
+  test("overwrite: re-commits committed keys under a new run_id; readers see exactly the new data (K6 --overwrite)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 300)
+    val cfg = cfgBase.copy(outDir = out)
+    val s1 = EncodePipeline.run(spark, tokens, cfg)
+    assert(s1.committed == s1.planned && s1.committed > 1)
+    val blobs1 = ManifestSink.readCommitted(spark, out)
+      .select(col("doc_id"), xxhash64(col("blob")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the routine operator need: re-encode after a config change, same sink
+    val s2 = EncodePipeline.run(spark, tokens,
+      cfg.copy(overwrite = true, parquetCodec = "snappy"))
+    assert(s2.runId > s1.runId, s"supersession order: ${s2.runId} !> ${s1.runId}")
+    assert(s2.skipped == 0 && s2.committed == s1.planned,
+      "overwrite recomputes every planned key, skipping none")
+
+    // readers: exactly the new run's rows — same corpus, zero duplicates,
+    // every row carrying the overwriting run_id
+    val read = ManifestSink.readCommitted(spark, out)
+    assert(read.count() == 300)
+    assert(read.select("doc_id").distinct().count() == 300)
+    assert(read.select("run_id").distinct().collect().map(_.getString(0)).toSeq
+      == Seq(s2.runId))
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // identical input + deterministic codecs: blob content is unchanged
+    val blobs2 = read.select(col("doc_id"), xxhash64(col("blob")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blobs2 == blobs1)
+    // current manifest resolves every key to the overwriting run; the full
+    // manifest keeps both runs' history
+    val cur = ManifestSink.currentManifest(spark, out)
+    assert(cur.select("run_id").distinct().collect().map(_.getString(0)).toSeq
+      == Seq(s2.runId))
+    assert(cur.agg(sum("n_docs")).collect()(0).getLong(0) == 300)
+    assert(ManifestSink.committedManifest(spark, out)
+      .select("run_id").distinct().count() == 2)
+
+    // a normal resume run after the overwrite sees nothing to do (the
+    // drift guard compares against the WINNING run's counts)
+    val s3 = EncodePipeline.run(spark, tokens, cfg)
+    assert(s3.committed == 0 && s3.skipped == s3.planned)
+
+    // the superseded first run is reclaimable; readers are unaffected
+    assert(ManifestSink.supersededRunIds(spark, out) == Seq(s1.runId))
+    val gc = ManifestSink.gcSuperseded(spark, out)
+    assert(gc.dataFilesDeleted > 0 && gc.manifestDirsDeleted == 1)
+    assert(ManifestSink.supersededRunIds(spark, out).isEmpty)
+    assert(!ManifestSink.committedRunIds(out).contains(s1.runId))
+    assert(ManifestSink.readCommitted(spark, out).count() == 300)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // run ids stay monotonic after GC freed the low index (nextRunId is
+    // max+1, never count-based — an id reuse would corrupt supersession)
+    val s4 = EncodePipeline.run(spark, tokens, cfg.copy(overwrite = true))
+    assert(s4.runId > s2.runId)
+
+    // overwrite is single-run: runAll refuses it
+    intercept[IllegalArgumentException] {
+      EncodePipeline.runAll(spark, tokens, cfg.copy(overwrite = true))
+    }
+  }
+
+  test("bounded overwrite supersedes only the re-committed subset") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 300)
+    val cfg = cfgBase.copy(outDir = out)
+    val s1 = EncodePipeline.run(spark, tokens, cfg)
+    assert(s1.planned > 2)
+    val s2 = EncodePipeline.run(spark, tokens,
+      cfg.copy(overwrite = true, maxPartitionsPerRun = 2))
+    assert(s2.committed == 2)
+    // partial supersession: re-committed keys resolve to run 2, the rest
+    // keep run 1; corpus still exact
+    val cur = ManifestSink.currentManifest(spark, out)
+    assert(cur.filter(col("run_id") === s2.runId).count() == 2)
+    assert(cur.filter(col("run_id") === s1.runId).count() == s1.planned - 2)
+    val read = ManifestSink.readCommitted(spark, out)
+    assert(read.count() == 300 && read.select("doc_id").distinct().count() == 300)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // run 1 still carries live keys — NOT reclaimable
+    assert(ManifestSink.supersededRunIds(spark, out).isEmpty)
+    val gc = ManifestSink.gcSuperseded(spark, out)
+    assert(gc.dataFilesDeleted == 0 && gc.manifestDirsDeleted == 0)
+    assert(ManifestSink.readCommitted(spark, out).count() == 300)
+  }
 }
