@@ -55,6 +55,20 @@ object EncodePipeline {
   final case class Config(
       outDir: String,
       targetBinTokens: Long = 1L << 20,  // ≈4 MB raw int32 per encode bin
+      targetPartitions: Int = 0, // K8 partition-COUNT granularity knob (the
+                               // reference offers both chunk_size and
+                               // --n-chunks, args.rs:130-136 /
+                               // types/chunks/subchunks.rs:12-43). > 0:
+                               // derive the bin size from the input at sink
+                               // creation — ceil(totalTokens / N) — instead
+                               // of using targetBinTokens, giving ~N output
+                               // partitions (approximate: per-(source,salt)
+                               // binning rounds each group up, so the count
+                               // lands in [N, N + groups)). The DERIVED bin
+                               // size is what gets pinned, so resumes
+                               // reuse it verbatim; on an already-pinned
+                               // sink this knob is ignored (geometry is
+                               // resume identity).
       saltBuckets: Int = 0,              // 0 = derive from input size
       maxPartitionsPerRun: Int = Int.MaxValue, // bound a run (resume testing / backfill waves)
       partPrefix: String = "", // scopes part_keys (e.g. streaming batch id) so
@@ -86,6 +100,14 @@ object EncodePipeline {
                                // identity columns (source, part_stub) always
                                // lead the sort so files stay contiguous per
                                // directory regardless of the user order.
+                               // EMPTY = `--sort none` (sort.rs:9-18 None
+                               // case): skip the user sort entirely — rows
+                               // are clustered only by the partition
+                               // identity columns (still required, or the
+                               // writer would fragment files per dir), in
+                               // whatever order the encode shuffle emits.
+                               // Saves a per-file comparator pass when
+                               // downstream order is irrelevant.
       overwrite: Boolean = false, // reference --overwrite (freeze.rs:96-99,
                                // types/files.rs:16): recompute and
                                // SUPERSEDE committed part_keys instead of
@@ -141,19 +163,24 @@ object EncodePipeline {
       // shared allowlist (graft.util.PathSegment): the label becomes part
       // of a directory name, so it must be one clean path-segment fragment
       if (label.nonEmpty) graft.util.PathSegment.validate(label, "label")
+      require(targetPartitions >= 0,
+        s"targetPartitions must be >= 0 (0 = size bins by targetBinTokens): $targetPartitions")
       val sortable = Set("doc_id", "n_tok", "codec", "salt", "bin", "part_key")
-      require(sortColumns.nonEmpty && sortColumns.forall(sortable.contains),
-        s"sortColumns must be non-empty and drawn from ${sortable.mkString(",")}: " +
-          s"$sortColumns")
+      // empty = --sort none (skip the user sort)
+      require(sortColumns.forall(sortable.contains),
+        s"sortColumns must be drawn from ${sortable.mkString(",")} " +
+          s"(empty = no per-file sort): $sortColumns")
       this
     }
 
     /** Config echo embedded in commit reports (reports.rs cli_command/args
       * analog): enough to replay the run byte-identically.
       */
-    private[pipeline] def reportJson(resolvedSalts: Int): String = {
+    private[pipeline] def reportJson(resolvedSalts: Int,
+        resolvedBin: Long = targetBinTokens): String = {
       def esc(s: String) = graft.util.JsonEsc.escape(s)
-      s"""{"out_dir":"${esc(outDir)}","target_bin_tokens":$targetBinTokens,""" +
+      s"""{"out_dir":"${esc(outDir)}","target_bin_tokens":$resolvedBin,""" +
+        s""""target_partitions":$targetPartitions,""" +
         s""""salt_buckets":$resolvedSalts,"max_partitions_per_run":$maxPartitionsPerRun,""" +
         s""""part_prefix":"${esc(partPrefix)}","parquet_codec":"$parquetCodec",""" +
         s""""broadcast_key_limit":$broadcastKeyLimit,"strict_resume":$strictResume,""" +
@@ -197,7 +224,10 @@ object EncodePipeline {
   def plan(tokens: DataFrame, cfg: Config): DataFrame =
     plan(tokens, cfg, resolveSalts(tokens, cfg))
 
-  def plan(tokens: DataFrame, cfg: Config, salts: Int): DataFrame = {
+  def plan(tokens: DataFrame, cfg: Config, salts: Int): DataFrame =
+    plan(tokens, cfg, salts, cfg.targetBinTokens)
+
+  def plan(tokens: DataFrame, cfg: Config, salts: Int, binTokens: Long): DataFrame = {
     val w = Window.partitionBy("source", "salt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val keyParts =
@@ -212,7 +242,7 @@ object EncodePipeline {
       .select("doc_id", "source", "n_tok")
       .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
       .withColumn("bin",
-        floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(cfg.targetBinTokens)))
+        floor((sum(col("n_tok").cast("long")).over(w) - col("n_tok")) / lit(binTokens)))
       .withColumn("part_key", concat_ws("/", keyParts: _*))
   }
 
@@ -330,7 +360,7 @@ object EncodePipeline {
     // The first SUCCESSFUL run pins it (at commit time — see below);
     // later runs validate — and auto-salt mode reuses the pin, so input
     // growth can't shift the salt count mid-sink.
-    val salts = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
+    val (salts, binTokens) = ManifestSink.pinnedPlanConfig(cfg.outDir) match {
       case Some((pinSalts, pinBin)) =>
         // hint the remediation when the pin is stale (crash between pin
         // and commit on a sink with zero visible data): the fix is the
@@ -343,7 +373,10 @@ object EncodePipeline {
               "prior run crashed between pin and commit; clear it with " +
               "ManifestSink.clearStalePin and re-run)"
           else ""
-        if (pinBin != cfg.targetBinTokens)
+        // targetPartitions mode derives its bin size at sink creation; on
+        // an already-pinned sink the pin IS the geometry (resume identity),
+        // so only an EXPLICIT targetBinTokens conflict is an error
+        if (cfg.targetPartitions == 0 && pinBin != cfg.targetBinTokens)
           throw new IllegalStateException(
             s"sink ${cfg.outDir} was created with targetBinTokens=$pinBin; " +
               s"config says ${cfg.targetBinTokens}. Changing bin geometry on " +
@@ -353,8 +386,19 @@ object EncodePipeline {
           throw new IllegalStateException(
             s"sink ${cfg.outDir} was created with saltBuckets=$pinSalts; " +
               s"config says ${cfg.saltBuckets}. Use a fresh outDir$staleHint.")
-        pinSalts
-      case None => resolveSalts(tokens, cfg)
+        (pinSalts, pinBin)
+      case None =>
+        val s = resolveSalts(tokens, cfg)
+        // --n-chunks (subchunks.rs:12-43): bin size from the input total,
+        // ceil so the count never overshoots N by more than the group
+        // rounding; the derived value is pinned at commit like any other
+        val b =
+          if (cfg.targetPartitions > 0) {
+            val total = tokens.agg(coalesce(sum(col("n_tok").cast("long")), lit(0L)))
+              .collect()(0).getLong(0)
+            math.max(1L, (total + cfg.targetPartitions - 1) / cfg.targetPartitions)
+          } else cfg.targetBinTokens
+        (s, b)
     }
 
     phase("salt_resolve")
@@ -371,7 +415,7 @@ object EncodePipeline {
     // input; the heavy arrays are read exactly once per run, in the encode
     // pass (the reference's plan-then-collect shape, freeze.rs:26-125).
     phase("committed_read")
-    val plannedParts = plan(tokens, cfg, salts).persist(StorageLevel.MEMORY_AND_DISK)
+    val plannedParts = plan(tokens, cfg, salts, binTokens).persist(StorageLevel.MEMORY_AND_DISK)
     val plannedKeys = plannedParts.select("part_key").distinct()
     val nPlanned = plannedKeys.count()
     // resume: skip already-committed partitions (freeze.rs:96-109 analog);
@@ -479,6 +523,8 @@ object EncodePipeline {
         // schema's sort columns, types/dataframes/sort.rs:9-18): rows
         // within each partition directory's files follow cfg.sortColumns
         // (default doc_id), behind the partition identity columns
+        // empty sortColumns = --sort none: only the partition identity
+        // columns are clustered (required for contiguous per-dir files)
         .sortWithinPartitions("source", ("part_stub" +: cfg.sortColumns): _*)
         .write.mode("append").partitionBy("source", "part_stub")
         .option("compression", cfg.parquetCodec)
@@ -557,18 +603,19 @@ object EncodePipeline {
       // Re-validate after pinning — if a concurrent first run with
       // different geometry won the pin race, this run's data stays
       // invisible (no marker).
-      ManifestSink.pinPlanConfig(cfg.outDir, salts, cfg.targetBinTokens)
+      ManifestSink.pinPlanConfig(cfg.outDir, salts, binTokens)
       ManifestSink.pinnedPlanConfig(cfg.outDir) match {
-        case Some((ps, pb)) if ps == salts && pb == cfg.targetBinTokens => ()
+        case Some((ps, pb)) if ps == salts && pb == binTokens => ()
         case other => throw new IllegalStateException(
           s"plan-geometry pin race lost: sink pinned $other but this run " +
-            s"used (saltBuckets=$salts, targetBinTokens=${cfg.targetBinTokens}); " +
+            s"used (saltBuckets=$salts, targetBinTokens=$binTokens); " +
             "not committing (data stays invisible). Re-run to resume.")
       }
 
       phase("totals_pin")
       // atomic publish — everything above is invisible until this succeeds
-      ManifestSink.commitRun(cfg.outDir, runId, summaryJson(summary, cfg, salts))
+      ManifestSink.commitRun(cfg.outDir, runId,
+        summaryJson(summary, cfg, salts, binTokens))
       // the commit marker is the attempt's terminal state: the in-flight
       // marker has served its purpose (a crash past this point loses no
       // observability — the run IS committed). Best-effort (NonFatal only
@@ -630,11 +677,12 @@ object EncodePipeline {
     * config that produced it (reports.rs:9-23's cryo_version/cli_command/
     * args parity) — a reader of `commits/<id>.json` can replay the run.
     */
-  private def summaryJson(s: RunSummary, cfg: Config, resolvedSalts: Int): String =
+  private def summaryJson(s: RunSummary, cfg: Config, resolvedSalts: Int,
+      resolvedBin: Long): String =
     s"""{"run_id":"${s.runId}","planned":${s.planned},"skipped":${s.skipped},
        |"committed":${s.committed},"n_docs":${s.nDocs},"n_tokens":${s.nTokens},
        |"raw_bytes":${s.rawBytes},"encoded_bytes":${s.encodedBytes},
        |"wall_ms":${s.wallMs},"prior_failed_attempts":${s.priorFailedAttempts},
        |"deferred":${s.deferred},"engine_version":"$Version",
-       |"config":${cfg.reportJson(resolvedSalts)}}""".stripMargin.replace("\n", "")
+       |"config":${cfg.reportJson(resolvedSalts, resolvedBin)}}""".stripMargin.replace("\n", "")
 }

@@ -632,6 +632,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sort none: empty sortColumns skips the per-file user sort (K4 --sort none)") {
+    val out = freshDir()
+    // many mappers + few big bins: the encode shuffle interleaves mapper
+    // blocks inside each partition dir, so without the user sort the files
+    // cannot all come out doc_id-ascending
+    val tokens = Tokens.synthetic(spark, 400, numPartitions = 8)
+    val s = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, targetBinTokens = 1L << 20, saltBuckets = 2,
+        sortColumns = Seq.empty))
+    assert(s.committed > 0 && s.nDocs == 400)
+    // layout still partition-clustered (one dir set, files under their
+    // stubs), content exact — only the row ORDER inside files is free
+    assert(ManifestSink.readCommitted(spark, out).count() == 400)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    val perFile = spark.read.parquet(ManifestSink.dataDir(out))
+      .select(input_file_name().as("f"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+    val anyUnsorted = perFile.exists { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      ids.size > 1 && ids != ids.sorted
+    }
+    assert(anyUnsorted, "expected at least one file in shuffle order (sort skipped)")
+    // the report records the empty sort for replay
+    assert(ManifestSink.readCommitSummaries(out).head.contains(""""sort_columns":[]"""))
+  }
+
+  test("targetPartitions: partition-count knob derives and pins the bin size (K8 --n-chunks)") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 400)
+    val n = 6
+    val s = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, saltBuckets = 2, targetPartitions = n))
+    // approximate-N semantics: per-(source,salt) binning rounds each group
+    // up, so the count lands in [N, N + groups)
+    val groups = tokens.select("source").distinct().count() * 2
+    assert(s.committed >= n && s.committed < n + groups,
+      s"committed ${s.committed} for targetPartitions=$n (${groups} groups)")
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // the DERIVED bin size is pinned: ceil(totalTokens / N)
+    val total = tokens.agg(sum(col("n_tok").cast("long"))).collect()(0).getLong(0)
+    val expectBin = (total + n - 1) / n
+    assert(ManifestSink.pinnedPlanConfig(out).contains((2, expectBin)))
+    // resume under the same knob reuses the pin: everything skips
+    val again = EncodePipeline.run(spark, tokens,
+      cfgBase.copy(outDir = out, saltBuckets = 2, targetPartitions = n))
+    assert(again.committed == 0 && again.skipped == again.planned)
+    // and the report's target_bin_tokens is the derived value (replayable)
+    assert(ManifestSink.readCommitSummaries(out).head
+      .contains(s""""target_bin_tokens":$expectBin"""))
+    intercept[IllegalArgumentException] {
+      EncodePipeline.Config(outDir = out, targetPartitions = -1).validated
+    }
+  }
+
   test("bounded overwrite supersedes only the re-committed subset") {
     val out = freshDir()
     val tokens = Tokens.synthetic(spark, 300)
