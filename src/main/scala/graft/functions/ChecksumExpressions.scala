@@ -68,6 +68,13 @@ case class TokensSum(child: Expression) extends UnaryExpression {
   * positions — the position-weighted rolling content hash of
   * TextOps.fingerprint (SQL mirror: aggregate over
   * transform(sequence(1, length(text)), i -> i * ascii(substring(text,i,1)))).
+  *
+  * Non-ASCII convention (Utf8KernelSpec): CODEPOINT positions — a
+  * surrogate pair is one position, a combining mark its own; no Unicode
+  * normalization (precomposed ≠ decomposed, deliberately — the value pins
+  * content-on-the-wire). The SQL mirror holds for full Unicode too
+  * (Spark's length/substring are codepoint-based and ascii() yields the
+  * codepoint), spec-verified over mixed scripts.
   */
 case class CharFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

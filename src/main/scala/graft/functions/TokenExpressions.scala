@@ -514,6 +514,11 @@ object MinhashSignature {
   * Native because the higher-order formulation (transform over sequence
   * with a nested aggregate fold) is CodegenFallback and O(n·len) string
   * building per row.
+  *
+  * Non-ASCII convention (Utf8KernelSpec): pure UTF-8 BYTE fold —
+  * multi-byte words hash their wire bytes, no codepoint or normalization
+  * step; the 0x20 separator makes "a b" as one word byte-alias ["a","b"]
+  * (pinned as a documented wire-format property).
   */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -585,6 +590,10 @@ object ShingleHashes {
   * fold). Native because the per-row work is O(len) interval walking +
   * string building — the higher-order formulation is CodegenFallback and
   * would re-evaluate per plan reference.
+  *
+  * Non-ASCII convention (Utf8KernelSpec): surviving words may be
+  * arbitrary UTF-8; the cleaned fingerprint follows char_fingerprint's
+  * codepoint convention over their single-space rejoin.
   */
 case class CutSpans(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
