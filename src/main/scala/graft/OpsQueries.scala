@@ -1089,6 +1089,61 @@ GROUP BY doc_id"""))
            |  CAST(sum(event_id) AS BIGINT) AS event_sum
            |FROM s GROUP BY 1, 2""".stripMargin))
 
+  /** Ordered funnel progression ([[Sessions.funnel]], signup → view →
+    * purchase): per user, the deepest stage reached under the STRICT
+    * earliest-completion rule (stage i's time = min event time of its
+    * type LATER than stage i−1's completion; same-instant does not
+    * advance — `>` replays identically in both engines, where `>=` would
+    * double-count same-timestamp batches). Validity conditions: session
+    * timeZone = UTC (epoch_us ↔ unix_micros, the events_sessions
+    * convention) and min() over exact BIGINT micros — no float ever
+    * enters. The per-depth frontier rows are unique per (user, depth),
+    * so the deepest-row argmax is deterministic on both sides.
+    */
+  private val eventsFunnel = Q(
+    (s, dir) => Sessions.funnel(
+      s.read.parquet(s"$dir/events.parquet"),
+      Seq("signup", "view", "purchase")),
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+           |f0 AS (SELECT user_id, min(t) AS t0 FROM e
+           |       WHERE event_type = 'signup' GROUP BY user_id),
+           |f1 AS (SELECT e.user_id, t0, min(t) AS t1 FROM e
+           |       JOIN f0 ON e.user_id = f0.user_id
+           |       WHERE event_type = 'view' AND t > t0 GROUP BY e.user_id, t0),
+           |f2 AS (SELECT e.user_id, t0, t1, min(t) AS t2 FROM e
+           |       JOIN f1 ON e.user_id = f1.user_id
+           |       WHERE event_type = 'purchase' AND t > t1 GROUP BY e.user_id, t0, t1),
+           |d AS (
+           |  SELECT user_id, 1 AS sc, t0 AS first_us, t0 AS last_us FROM f0
+           |  UNION ALL SELECT user_id, 2, t0, t1 FROM f1
+           |  UNION ALL SELECT user_id, 3, t0, t2 FROM f2)
+           |SELECT d.user_id, CAST(d.sc AS BIGINT) AS stages_completed,
+           |  d.first_us, d.last_us
+           |FROM d JOIN (SELECT user_id, max(sc) AS m FROM d GROUP BY user_id) mx
+           |  ON d.user_id = mx.user_id AND d.sc = mx.m""".stripMargin))
+
+  /** Hour-over-hour retention ([[Sessions.retention]]): per active UTC
+    * hour bucket, distinct active users and how many are active again in
+    * the next hour. Bucketing is integral `div` over epoch micros (`//`
+    * in DuckDB) — no double division near bucket boundaries; counts are
+    * exact BIGINTs over the slim distinct (user, hour) frame.
+    */
+  private val eventsRetention = Q(
+    (s, dir) => Sessions.retention(s.read.parquet(s"$dir/events.parquet")),
+    Some("""WITH a AS (
+           |  SELECT DISTINCT user_id,
+           |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+           |  FROM events),
+           |r AS (
+           |  SELECT a.hour_us, count(*) AS n_ret FROM a
+           |  JOIN a b ON a.user_id = b.user_id
+           |    AND b.hour_us = a.hour_us + 3600000000
+           |  GROUP BY a.hour_us)
+           |SELECT a.hour_us, CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(coalesce(max(r.n_ret), 0) AS BIGINT) AS n_retained
+           |FROM a LEFT JOIN r ON a.hour_us = r.hour_us
+           |GROUP BY a.hour_us""".stripMargin))
+
   private val eventsHourly = Q(
     (s, dir) => s.read.parquet(s"$dir/events.parquet")
       .groupBy(
@@ -1141,6 +1196,8 @@ GROUP BY doc_id"""))
     "media_resize" -> mediaResize,
     "media_features" -> mediaFeatures,
     "events_hourly" -> eventsHourly,
-    "events_sessions" -> eventsSessions
+    "events_sessions" -> eventsSessions,
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention
   )
 }

@@ -36,6 +36,88 @@ object Sessions {
     * standing convention; Verify and the oracle's tz-free `epoch_us` both
     * assume it).
     */
+  /** Ordered-funnel progression per user: how deep into the stage list
+    * `stages` (e.g. signup → view → purchase) each user's event stream
+    * gets, requiring STRICTLY increasing timestamps between consecutive
+    * stages (a same-instant later stage does not advance — the strict
+    * rule replays identically in SQL, where a `>=` would double-count
+    * same-timestamp batches). Earliest-completion semantics: stage i's
+    * completion time is the MINIMUM event time of type stages(i) that is
+    * later than stage i−1's completion — the canonical product-analytics
+    * funnel fold.
+    *
+    * Output (only users who complete ≥ 1 stage): `(user_id,
+    * stages_completed, first_us, last_us)` — all BIGINT (epoch
+    * microseconds under the session-UTC convention of [[sessionize]]).
+    *
+    * Scale shape: k − 1 equi-joins on user_id over SLIM per-stage
+    * aggregates ((user_id, t) pairs — one row per user per stage, never
+    * event-grain), each fed by a filtered scan of the events source with
+    * the stage predicate pushed down; k is a small constant (the funnel
+    * definition), so this is a fixed pipeline of bounded shuffles that
+    * all hash on the same key. No windows, nothing event-grain ever
+    * crosses a join.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 16,
+      s"stages must be 1..16 ordered stage names: $stages")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct (a repeated stage is ambiguous): $stages")
+    val base = events.select(col("user_id"),
+      col("event_type"), unix_micros(col("ts").cast("timestamp")).as("t"))
+    // frontier i = users who completed stages 0..i, with every completion
+    // time t0..ti carried along; users drop out of the chain at their
+    // first missed (or not-later) stage
+    val first = base.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("t").as("t0"))
+    val frontiers = stages.indices.tail.scanLeft(first) {
+      case (prev, i) =>
+        base.filter(col("event_type") === stages(i))
+          .join(prev, Seq("user_id"))
+          .filter(col("t") > col(s"t${i - 1}"))
+          .groupBy((col("user_id") +: (0 until i).map(j => col(s"t$j"))): _*)
+          .agg(min("t").as(s"t$i"))
+    }
+    // stages_completed for a user = the deepest frontier containing them;
+    // assemble by unioning (user, depth, first, last) and keeping max depth
+    val perDepth = frontiers.zipWithIndex.map { case (f, i) =>
+      f.select(col("user_id"), lit((i + 1).toLong).as("stages_completed"),
+        col("t0").as("first_us"), col(s"t$i").as("last_us"))
+    }
+    perDepth.reduce(_ unionAll _)
+      .groupBy("user_id")
+      .agg(max(struct(col("stages_completed"), col("first_us"), col("last_us"))).as("w"))
+      .select(col("user_id"), col("w.stages_completed").as("stages_completed"),
+        col("w.first_us").as("first_us"), col("w.last_us").as("last_us"))
+  }
+
+  /** Hour-over-hour retention: for each UTC hour bucket with activity,
+    * the number of distinct active users and how many of them are active
+    * again in the NEXT hour — the cohort-retention primitive. Output
+    * `(hour_us, n_users, n_retained)`, all BIGINT (hour_us = bucket start
+    * in epoch microseconds). Scale shape: one distinct (user, hour)
+    * shuffle, then a self-join on (user, hour+1) that hashes the same
+    * slim frame — never event-grain.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    // integral `div` (never a double divide — a quotient one ulp under a
+    // bucket boundary would truncate into the wrong hour)
+    val active = events
+      .select(col("user_id"),
+        expr(s"(unix_micros(cast(ts AS timestamp)) div ${hourUs}L) * ${hourUs}L")
+          .as("hour_us"))
+      .distinct()
+    val next = active.select(col("user_id"),
+      (col("hour_us") - hourUs).as("hour_us"))
+    active.join(next, Seq("user_id", "hour_us"), "left_semi")
+      .groupBy("hour_us").agg(count(lit(1)).as("n_retained"))
+      .join(active.groupBy("hour_us").agg(count(lit(1)).as("n_users")),
+        Seq("hour_us"), "right")
+      .select(col("hour_us"), col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+  }
+
   def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
     require(gapUs >= 1, s"gapUs must be positive: $gapUs")
     val order = Window.partitionBy("user_id").orderBy("t", "event_id")

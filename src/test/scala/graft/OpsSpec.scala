@@ -901,6 +901,78 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sessions.sessionize(events, 0L))
   }
 
+  test("funnel: strict earliest-completion chain replays driver-side; slim per-stage joins") {
+    val events = spark.read.parquet(s"$dir/events.parquet").cache()
+    val stages = Seq("signup", "view", "purchase")
+    val rows = events
+      .select($"user_id", $"event_type",
+        unix_micros($"ts".cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver replay: t_i = min t of stage i with t > t_{i-1}
+    val expected = rows.groupBy(_._1).flatMap { case (u, xs) =>
+      val byType = xs.groupBy(_._2).view.mapValues(_.map(_._3).toSeq.sorted).toMap
+      byType.get(stages.head).map(_.head).map { t0 =>
+        var depth = 1L; var last = t0
+        var i = 1
+        var stop = false
+        while (i < stages.length && !stop) {
+          byType.getOrElse(stages(i), Seq.empty[Long]).find(_ > last) match {
+            case Some(t) => depth += 1; last = t
+            case None => stop = true
+          }
+          i += 1
+        }
+        u -> (depth, t0, last)
+      }
+    }
+    val got = Sessions.funnel(events, stages).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // gate data regime (checked at sf0.001 and sf0.01): every funnel
+    // starter completes — the synthetic users are active across the whole
+    // window, so no 3-stage permutation yields partial depths. The
+    // partial-depth and tie semantics are pinned by the crafted corpus
+    // below instead.
+    assert(expected.nonEmpty && expected.values.forall(_._1 == stages.length.toLong))
+    // strict-progress semantics on crafted ties: a same-instant later
+    // stage does NOT advance; a later one does
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "signup"),
+      (1L, 101L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view"),
+      (2L, 200L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "signup"),
+      (2L, 201L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val craftedGot = Sessions.funnel(crafted, Seq("signup", "view")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(craftedGot == Map(1L -> 1L, 2L -> 2L))
+    // scale shape: no window, no sort-merge join of event-grain rows —
+    // the joins hash slim per-user aggregates
+    val plan = Sessions.funnel(events, stages).queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    intercept[IllegalArgumentException](Sessions.funnel(events, Seq.empty))
+    intercept[IllegalArgumentException](Sessions.funnel(events, Seq("a", "a")))
+  }
+
+  test("retention: hour-over-hour cohort counts replay driver-side") {
+    val events = spark.read.parquet(s"$dir/events.parquet").cache()
+    val hourUs = 3600L * 1000000L
+    val rows = events
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / hourUs * hourUs))
+      .distinct
+    val byHour = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val expected = byHour.map { case (h, users) =>
+      h -> (users.size.toLong,
+        users.count(byHour.getOrElse(h + hourUs, Set.empty)).toLong)
+    }
+    val got = Sessions.retention(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the gate data must have non-trivial retention somewhere
+    assert(expected.values.exists(_._2 > 0))
+  }
+
   test("exact quantiles: rank rule replays, ties, edge quantiles, distribution-first plan") {
     val qs = Seq(1, 250, 500, 750, 990, 1000)
     // driver replay of the stated rule: the q‰ quantile is the sorted
