@@ -160,8 +160,13 @@ object Sampling {
     *
     * Scale shape: a naive `row_number ≤ n` window sorts ENTIRE strata on
     * one reducer each — at 100 TB a stratum is billions of rows. This
-    * runs two-phase instead: (1) per-stratum counts (slim agg, driver map
-    * bounded by stratum cardinality, like [[mixCorpus]]'s rate map);
+    * runs two-phase instead: (1) per-stratum counts as a DISTRIBUTED
+    * slim aggregate — the cutoff is a (stratum, cutoff) lookup table
+    * joined in (broadcast under the usual 2^20-key limit, SHUFFLE_HASH
+    * past it; null strata via null-safe equality), never a chained
+    * literal expression, so plan size and driver memory stay O(1) at any
+    * stratum cardinality (r4 review item — the driver sees only scalar
+    * counts);
     * (2) a hash-cutoff prefilter keeps ~n + slack candidates per stratum
     * (keys are near-uniform, so the n-th order statistic sits near
     * n/count of the key space; the cutoff is verified to keep ≥ min(n,
@@ -187,41 +192,54 @@ object Sampling {
     val slim = docs.select(col("doc_id"), col(keyCol),
       shuffleKey(seed, "sampleExact").cast("long").as("sample_key"))
 
-    // phase 1: stratum sizes (null strata included — Spark groups them)
-    val counts: Seq[(Any, Long)] = slim.groupBy(col(keyCol)).count()
-      .collect().map(r => (r.get(0), r.getLong(1))).toSeq
-
-    def cutoffExpr(cut: Map[Any, Long]): Column =
-      counts.foldLeft(lit(KeySpace)) { case (acc, (k, _)) =>
-        val c = lit(cut(k))
-        if (k == null) when(col(keyCol).isNull, c).otherwise(acc)
-        else when(col(keyCol) === lit(k), c).otherwise(acc)
-      }
+    // phase 1: stratum sizes as a DISTRIBUTED slim aggregate (null strata
+    // included — Spark groups them); the driver never materializes the
+    // stratum list, only scalar counts
+    val counts = slim.groupBy(col(keyCol).as("s_key"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val nStrata = counts.count()
 
     // initial cutoff: expected n-th order statistic + generous slack
     // (6σ of the binomial candidate count + a constant floor)
-    var cut: Map[Any, Long] = counts.map { case (k, cnt) =>
-      k -> (if (cnt <= n) KeySpace
-            else {
-              val slack = n + 6.0 * math.sqrt(n.toDouble) + 64.0
-              math.min(KeySpace, math.ceil(KeySpace * slack / cnt).toLong)
-            })
-    }.toMap
+    val slackRows = n + 6.0 * math.sqrt(n.toDouble) + 64.0
+    var cut = counts.withColumn("s_cut",
+      when(col("s_cnt") <= n, lit(KeySpace)).otherwise(
+        least(lit(KeySpace),
+          ceil(lit(KeySpace.toDouble) * slackRows / col("s_cnt")).cast("long"))))
+
+    // the cutoff lookup joins against the data null-safely (a null
+    // stratum is its own group); broadcast while the table is small,
+    // hashed shuffle past the usual key limit — never a literal
+    // case-chain (plan size was linear in stratum cardinality)
+    def candidatesFor(c: DataFrame): DataFrame = {
+      val side = if (nStrata <= (1L << 20)) broadcast(c) else c.hint("SHUFFLE_HASH")
+      slim.join(side, col(keyCol) <=> col("s_key"))
+        .filter(col("sample_key") < col("s_cut"))
+        .select(col("doc_id"), col(keyCol), col("sample_key"))
+    }
 
     // phase 2: verify the prune keeps ≥ min(n, count) per stratum; widen
-    // deficient strata ×4 (terminates: cutoff reaches the full key space)
-    var candidates = slim.filter(col("sample_key") < cutoffExpr(cut))
+    // deficient strata ×4 (terminates: cutoff reaches the full key
+    // space). Deficits are a tail event (the slack is 6σ), so the loop
+    // usually exits on its first scalar check; each extra round adds one
+    // slim join layer to the cutoff lineage, bounded by the ~16
+    // quadruplings that reach the full key space.
+    var candidates = candidatesFor(cut)
     var deficit = true
     while (deficit) {
-      val got = candidates.groupBy(col(keyCol)).count()
-        .collect().map(r => (r.get(0), r.getLong(1))).toMap
-      val short = counts.filter { case (k, cnt) =>
-        got.getOrElse(k, 0L) < math.min(n.toLong, cnt) }
-      if (short.isEmpty) deficit = false
+      val got = candidates.groupBy(col(keyCol).as("g_key"))
+        .agg(count(lit(1)).as("g_cnt"))
+      val short = cut.join(got, col("s_key") <=> col("g_key"), "left")
+        .filter(coalesce(col("g_cnt"), lit(0L)) <
+          least(lit(n.toLong), col("s_cnt")))
+        .select(col("s_key").as("w_key"), lit(1L).as("w_short"))
+      if (short.limit(1).count() == 0) deficit = false
       else {
-        cut = cut ++ short.map { case (k, _) =>
-          k -> math.min(KeySpace, cut(k) * 4) }
-        candidates = slim.filter(col("sample_key") < cutoffExpr(cut))
+        cut = cut.join(short, col("s_key") <=> col("w_key"), "left")
+          .withColumn("s_cut", when(col("w_short").isNotNull,
+            least(lit(KeySpace), col("s_cut") * 4)).otherwise(col("s_cut")))
+          .select(col("s_key"), col("s_cnt"), col("s_cut"))
+        candidates = candidatesFor(cut)
       }
     }
 
