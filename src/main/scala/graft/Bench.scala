@@ -298,7 +298,7 @@ object Bench {
       "dedup_spans_cut", "corpus_upsample", "text_scrub", "text_winnow",
       "bpe_learn", "bpe_apply", "corpus_sample", "stats_quantiles",
       "events_sessions", "text_rare_terms", "corpus_topk", "stats_pct_rank",
-      "events_funnel", "events_retention")
+      "events_funnel", "events_retention", "vocab_coverage")
     val qs = SparkEntry.queries
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Best-of-N INTERLEAVED, like the scaling levels: single-shot per-query

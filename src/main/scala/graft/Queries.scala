@@ -428,6 +428,33 @@ object Queries {
              |GROUP BY 1""".stripMargin))
   }
 
+  /** Vocabulary coverage curve ([[graft.ops.Vocab.coverage]]): corpus
+    * token share covered by the top-k ids at log-spaced probe sizes —
+    * the vocab-size/coverage trade every tokenizer design reads off.
+    * Oracle replays the identical (freq DESC, tok) ranking and the
+    * integral per-mille rule (`div` ↔ `//`); one conditional-sum pass on
+    * both sides, cum·1000 far inside i64.
+    */
+  private val vocabCoverage = {
+    val ks = Seq(1, 4, 16, 64, 256, 1024)
+    Q(
+      (s, dir) => graft.ops.Vocab.coverage(tokens(s, dir), ks),
+      Some(s"""${Tokens.duckTokensCte}
+             |, freq AS (SELECT tok, count(*) AS freq FROM tokv GROUP BY 1)
+             |, ranked AS (
+             |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS r
+             |  FROM freq)
+             |SELECT k,
+             |  CAST(coalesce(sum(CASE WHEN r <= k THEN freq END), 0) AS BIGINT)
+             |    AS cum_tokens,
+             |  CAST(coalesce(sum(CASE WHEN r <= k THEN freq END), 0) * 1000
+             |    // (SELECT sum(freq) FROM ranked) AS BIGINT)
+             |    AS coverage_permille
+             |FROM ranked,
+             |  (SELECT CAST(unnest([${ks.mkString(", ")}]) AS BIGINT) AS k)
+             |GROUP BY k""".stripMargin))
+  }
+
   /** F1/F2 (§2.7): hex/base64 presentation encodings of binary columns via
     * built-ins (`concat('0x', lower(hex(..)))` is cryo's Hex display form,
     * types/conversions.rs:55-77) — roundtripped through unhex/unbase64.
@@ -720,6 +747,7 @@ object Queries {
     "chunk_tokens" -> chunkTokens,
     "pack_tokens" -> packTokens,
     "vocab_remap" -> vocabRemap,
+    "vocab_coverage" -> vocabCoverage,
     "hex_roundtrip" -> hexRoundtrip,
     "export_hex" -> exportHex,
     "chain_derive" -> chainDerive,

@@ -39,6 +39,36 @@ object Vocab {
       .withColumn("rank", col("rank") - 1)
   }
 
+  /** Cumulative coverage curve: for each probe size `k` in `ks`, how many
+    * corpus tokens (and what per-mille share) the top-k most frequent
+    * token ids cover — the tokenizer-design diagnostic ("what vocab size
+    * buys what coverage") behind every vocab-size decision. Deterministic
+    * under the same (freq DESC, tok ASC) total order as [[rankTable]];
+    * integral per-mille output (`div`), SQL-replayable.
+    *
+    * Scale shape: one slim (tok, freq) shuffle with map-side combine, the
+    * two-phase [[Ranks.globalRowNumber]] over the vocab (never a
+    * single-partition window), then ONE pass of |ks| conditional sums —
+    * the curve costs one aggregation regardless of how many probe points
+    * are asked for. cum·1000 stays in i64 through ~9·10^15 tokens.
+    */
+  def coverage(tokens: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive: $ks")
+    require(ks.distinct == ks, s"ks must be distinct: $ks")
+    val freq = tokens.select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = Ranks.globalRowNumber(
+      freq, Seq(col("freq").desc, col("tok").asc), "rank") // 1-based
+    val aggs = sum(col("freq")).as("total") +: ks.map(k =>
+      sum(when(col("rank") <= k, col("freq"))).as(s"cum_$k"))
+    val row = ranked.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ks.map(k => s"CAST($k AS BIGINT), coalesce(cum_$k, 0L)")
+      .mkString(", ")
+    row.selectExpr(s"stack(${ks.size}, $stackArgs) AS (k, cum_tokens)", "total")
+      .select(col("k"), col("cum_tokens"),
+        expr("(cum_tokens * 1000) div total").as("coverage_permille"))
+  }
+
   /** Remap every document through the top-`k` rank table (misses → OOV id
     * `k`) and fold the REMAPPED sequence to its position-weighted checksum
     * plus an OOV count — the content-verifiable form of the remap (an

@@ -821,6 +821,31 @@ class OpsSpec extends AnyFunSuite {
       Sampling.sampleExact(Sampling.sampleExact(docs, "lang", 5, 7), "lang", 5, 7))
   }
 
+  test("vocab coverage: curve replays driver-side; monotone; no single-partition window") {
+    val toks = graft.sources.Tokens.fromDocuments(spark, dir)
+      .select($"doc_id", $"tokens")
+    val ks = Seq(1, 4, 16, 64, 256, 1024)
+    val all = toks.select(explode($"tokens").as("tok")).as[Int].collect()
+    val total = all.length.toLong
+    val byFreq = all.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val expected = ks.map { k =>
+      val cum = byFreq.take(k).map(_._2).sum
+      k.toLong -> (cum, cum * 1000 / total)
+    }.toMap
+    val got = graft.ops.Vocab.coverage(toks, ks).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the curve is a real curve on gate data: strictly below full
+    // coverage at the smallest k, monotone nondecreasing, full at the top
+    assert(got(1L)._2 < 1000L)
+    assert(ks.map(k => got(k.toLong)._1) == ks.map(k => got(k.toLong)._1).sorted)
+    // two-phase rank: no "No Partition Defined" global window
+    assertNoGlobalWindow(graft.ops.Vocab.coverage(toks, ks), "vocab_coverage")
+    intercept[IllegalArgumentException](graft.ops.Vocab.coverage(toks, Seq.empty))
+    intercept[IllegalArgumentException](graft.ops.Vocab.coverage(toks, Seq(4, 4)))
+  }
+
   test("rare terms: tf/df rollup replays driver-side, df join stays SHUFFLE_HASH") {
     // driver replay of tf, df and the per-doc rollup
     val texts = docs.select("doc_id", "text").collect()
