@@ -63,8 +63,14 @@ object Sessions {
       s"stages must be 1..16 ordered stage names: $stages")
     require(stages.distinct.size == stages.size,
       s"stages must be distinct (a repeated stage is ambiguous): $stages")
-    val base = events.select(col("user_id"),
-      col("event_type"), unix_micros(col("ts").cast("timestamp")).as("t"))
+    // null user_id rows are EXCLUDED up front: a null user can't satisfy
+    // the chain's equi-joins past stage 1, and Spark's groupBy would
+    // still keep a null depth-1 group where SQL's joins drop it — the
+    // explicit filter makes the op and its SQL spec agree instead of
+    // diverging silently on dirty input
+    val base = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")).as("t"))
     // frontier i = users who completed stages 0..i, with every completion
     // time t0..ti carried along; users drop out of the chain at their
     // first missed (or not-later) stage

@@ -971,6 +971,13 @@ class OpsSpec extends AnyFunSuite {
     val craftedGot = Sessions.funnel(crafted, Seq("signup", "view")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(craftedGot == Map(1L -> 1L, 2L -> 2L))
+    // null user_id rows are excluded up front (SQL's equi-joins would
+    // drop them anyway — the op must not keep a stray null depth-1 group)
+    val withNullUser = crafted.withColumn("user_id",
+      when($"event_id" === 100L, lit(null: java.lang.Long)).otherwise($"user_id"))
+    val nullGot = Sessions.funnel(withNullUser, Seq("signup", "view")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nullGot == Map(2L -> 2L))
     // scale shape: no window, no sort-merge join of event-grain rows —
     // the joins hash slim per-user aggregates
     val plan = Sessions.funnel(events, stages).queryExecution.executedPlan.toString
