@@ -163,7 +163,10 @@ object Bpe {
     var (counts, countsCp) = Dedup.statsBarrier(pairCounts(corpus))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     // -Dgraft.bpe.verbose=1: per-round stderr wall time + changed-doc
-    // count (the count() adds a pass — don't record such runs as bench)
+    // count. Verbose is print-only — the changed.count() below runs in
+    // EVERY mode because it is load-bearing (it materializes the shared
+    // cache; see the comment at the call), so verbose runs measure the
+    // same work as silent ones.
     val verbose = sys.props.get("graft.bpe.verbose").nonEmpty
     var r = 0
     var exhausted = false

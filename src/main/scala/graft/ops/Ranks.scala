@@ -13,19 +13,25 @@ import org.apache.spark.sql.functions._
   *  1. range-repartition on the sort order — partition i's rows all sort
   *     before partition i+1's (ascending physical partition ids), ties never
   *     split across a boundary (the range partitioner routes by binary
-  *     search on boundary keys, so equal keys share a partition);
-  *  2. a PARTITIONED window numbers rows within each partition id;
-  *  3. per-partition counts (one row per partition — bounded by the cluster
-  *     partition count, a config, never by data) roll into exclusive
-  *     cumulative offsets via a broadcast non-equi self-join (sum of counts
-  *     of strictly-lower partition ids; no window anywhere — a
-  *     constant-key partitioned window gets its foldable key optimized
-  *     away and degenerates right back into the global window), broadcast
-  *     back, and `rank = offset + local`.
+  *     search on boundary keys, so equal keys share a partition); the
+  *     partition count is pinned explicitly so a cache-eviction recompute
+  *     reproduces the identical pid space (AQE never re-coalesces a
+  *     user-counted repartition);
+  *  2. a PARTITIONED window numbers rows within each partition id (this is
+  *     the second — and last — data exchange: the window's
+  *     ClusteredDistribution(pid) requirement re-hashes the range output,
+  *     which Catalyst cannot know is already pid-clustered);
+  *  3. the ranked frame is persisted and scanned ONCE for per-partition
+  *     counts (≤ the pinned partition count — bounded by configuration,
+  *     never by data), whose exclusive prefix offsets fold on the DRIVER
+  *     and broadcast back as a tiny lookup; `rank = offset + local`.
   *
-  * All offset-side work is over ≤ shuffle-partition-count rows — bounded by
-  * configuration, never by data. The branches read the same range exchange
-  * (ReusedExchange), so the heavy subtree below it computes once.
+  * Cost: exactly two exchanges of the (slim) input and one config-bounded
+  * driver fold. The first cut of this op computed offsets via a DataFrame
+  * self-join, which referenced the ranked subtree three times — and since
+  * exchange reuse does not kick in across those branches, the input was
+  * shuffled six times (review-caught; the single-computation shape is
+  * plan-asserted in OpsSpec's globalRowNumber test).
   */
 object Ranks {
 
@@ -35,21 +41,25 @@ object Ranks {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rankName: String): DataFrame = {
     require(order.nonEmpty, "globalRowNumber needs at least one sort column")
-    val Seq(pid, lr, cnt, off) =
-      Seq("__rk_pid", "__rk_lr", "__rk_c", "__rk_off")
-    Seq(pid, lr, cnt, off, rankName).foreach(c =>
+    val Seq(pid, lr, off) = Seq("__rk_pid", "__rk_lr", "__rk_off")
+    Seq(pid, lr, off, rankName).foreach(c =>
       require(!df.columns.contains(c), s"input already has a $c column"))
-    val local = df.repartitionByRange(order: _*)
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(nParts, order: _*)
       .withColumn(pid, spark_partition_id())
       .withColumn(lr,
         row_number().over(Window.partitionBy(pid).orderBy(order: _*)))
-    // exclusive prefix-sum of per-partition counts, as a broadcast
-    // non-equi self-join over the config-bounded counts table
-    val counts = local.groupBy(pid).agg(count(lit(1)).as(cnt))
-    val lower = counts.select(col(pid).as(pid + "2"), col(cnt).as(cnt + "2"))
-    val offsets = counts
-      .join(broadcast(lower), col(pid + "2") < col(pid), "left")
-      .groupBy(pid).agg(coalesce(sum(cnt + "2"), lit(0L)).as(off))
+      .persist()
+    // one materializing pass for the counts; every later consumer reads
+    // the cache (an evicted block recomputes bit-identically: pinned
+    // partition count, deterministic range boundaries, total order)
+    val counts = local.groupBy(pid).agg(count(lit(1)).as("__rk_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    import spark.implicits._
+    val offsets = offs.toDF(pid, off)
     local.join(broadcast(offsets), Seq(pid))
       .withColumn(rankName, (col(off) + col(lr)).cast("long"))
       .drop(pid, lr, off)

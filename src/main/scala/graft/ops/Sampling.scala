@@ -221,11 +221,17 @@ object Sampling {
     // phase 2: verify the prune keeps ≥ min(n, count) per stratum; widen
     // deficient strata ×4 (terminates: cutoff reaches the full key
     // space). Deficits are a tail event (the slack is 6σ), so the loop
-    // usually exits on its first scalar check; each extra round adds one
-    // slim join layer to the cutoff lineage, bounded by the ~16
-    // quadruplings that reach the full key space.
+    // usually exits on its first scalar check. Each widening round
+    // rebuilds `cut` FROM `cut` (plus a `short` frame that itself reads
+    // `cut` twice), so an un-barriered loop would grow the lineage
+    // ~3× per round — the exact iterative-loop pathology the CC trainer
+    // documents. Every widened cutoff therefore passes through
+    // Dedup.statsBarrier (the slim table materializes, lineage cut);
+    // superseded barrier blocks are freed, the final one stays live for
+    // the returned plan (CC-loop posture).
     var candidates = candidatesFor(cut)
     var deficit = true
+    var priorCp: DataFrame = null
     while (deficit) {
       val got = candidates.groupBy(col(keyCol).as("g_key"))
         .agg(count(lit(1)).as("g_cnt"))
@@ -235,10 +241,14 @@ object Sampling {
         .select(col("s_key").as("w_key"), lit(1L).as("w_short"))
       if (short.limit(1).count() == 0) deficit = false
       else {
-        cut = cut.join(short, col("s_key") <=> col("w_key"), "left")
+        val widened = cut.join(short, col("s_key") <=> col("w_key"), "left")
           .withColumn("s_cut", when(col("w_short").isNotNull,
             least(lit(KeySpace), col("s_cut") * 4)).otherwise(col("s_cut")))
           .select(col("s_key"), col("s_cnt"), col("s_cut"))
+        val (wrapped, cp) = Dedup.statsBarrier(widened)
+        if (priorCp != null) Dedup.freeCheckpoint(priorCp)
+        priorCp = cp
+        cut = wrapped
         candidates = candidatesFor(cut)
       }
     }

@@ -120,11 +120,16 @@ object EncodePipeline {
                                // superseded runs become reclaimable via
                                // ManifestSink.gcSuperseded. Geometry stays
                                // pinned (same part_keys ⇒ exact key-level
-                               // supersession). Single-run operation: with
-                               // maxPartitionsPerRun only the re-committed
-                               // subset supersedes (runAll refuses
-                               // overwrite — a resume wave after an
-                               // overwrite wave would skip stale keys).
+                               // supersession). Single-run, ALL-OR-NOTHING:
+                               // maxPartitionsPerRun is refused under
+                               // overwrite (review-caught: a bounded
+                               // overwrite re-selects the same leading
+                               // keys every run — no completion path, a
+                               // permanently mixed sink), and runAll
+                               // refuses overwrite (a resume wave after an
+                               // overwrite would skip stale keys). Commits
+                               // are atomic per run, so a crashed
+                               // overwrite supersedes nothing.
       dryRun: Boolean = false, // reference --dry (freeze.rs:43-46): plan the
                                // run — geometry, resume accounting,
                                // planned/skipped/deferred counts, todo
@@ -165,6 +170,10 @@ object EncodePipeline {
       if (label.nonEmpty) graft.util.PathSegment.validate(label, "label")
       require(targetPartitions >= 0,
         s"targetPartitions must be >= 0 (0 = size bins by targetBinTokens): $targetPartitions")
+      require(!(overwrite && maxPartitionsPerRun != Int.MaxValue),
+        "overwrite is all-or-nothing: a bounded overwrite re-selects the " +
+          "same leading keys every run (no completion path) and would leave " +
+          "a permanently mixed-config sink — drop maxPartitionsPerRun")
       val sortable = Set("doc_id", "n_tok", "codec", "salt", "bin", "part_key")
       // empty = --sort none (skip the user sort)
       require(sortColumns.forall(sortable.contains),
@@ -424,6 +433,25 @@ object EncodePipeline {
     // resolution, so no anti-join and no drift guard (re-encoding after an
     // input/config change is the point)
     phase("plan_persist")
+    if (cfg.overwrite && nCommitted > 0) {
+      // coverage guard (review-caught): overwrite supersedes KEY BY KEY,
+      // so a committed key absent from the new plan would silently stay
+      // live — ghost rows from deleted docs, duplicates from docs that
+      // shifted into earlier bins. The advertised use case (re-encode
+      // after a codec/config change over the SAME snapshot, or a grown
+      // snapshot) always plans a superset of the committed keys; a
+      // shrunk/reshaped input must go to a fresh outDir.
+      val uncovered = committedKeysDf
+        .join(plannedKeys.hint("SHUFFLE_HASH"), Seq("part_key"), "left_anti")
+        .count()
+      if (uncovered > 0)
+        throw new IllegalStateException(
+          s"overwrite coverage guard: $uncovered committed part_key(s) are " +
+            "absent from the new plan. Overwrite supersedes key by key, so " +
+            "those keys' old rows would silently stay visible next to the " +
+            "re-encoded corpus. The input shrank or re-binned — re-encode " +
+            "into a fresh outDir instead.")
+    }
     var todoKeys =
       if (cfg.overwrite) plannedKeys
       else resumeAntiJoin(plannedKeys, committedKeysDf, nCommitted,

@@ -189,6 +189,23 @@ object ManifestSink {
       if (Files.isDirectory(d)) { deleteTree(d); manifestDirs += 1 }
     }
     dead.foreach(id => Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
+    // crash-window sweep (review-caught): a kill between the manifest-dir
+    // loop and the marker loop leaves a run whose commit REPORT claims
+    // committed > 0 but whose manifest dir is gone — such a run has zero
+    // manifest rows, so supersededRunIds can never classify it again and
+    // its marker would leak forever. Reap exactly that shape here.
+    // Deliberately-empty commits (report says "committed":0) are kept —
+    // they are run history, not residue.
+    val committedRe = """"committed":(\d+)""".r
+    val idRe2 = """"run_id":"([^"]+)"""".r
+    readCommitSummaries(root).foreach { js =>
+      for {
+        m <- committedRe.findFirstMatchIn(js) if m.group(1).toLong > 0
+        im <- idRe2.findFirstMatchIn(js)
+        id = im.group(1)
+        if !Files.isDirectory(Paths.get(manifestDir(root), s"run_id=$id"))
+      } Files.deleteIfExists(commitsDir(root).resolve(s"$id.json"))
+    }
     GcReport(dataFiles, manifestDirs, 0, 0)
   }
 

@@ -686,27 +686,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("bounded overwrite supersedes only the re-committed subset") {
+  test("gcSuperseded crash window: half-collected markers reaped, empty commits kept") {
+    val out = freshDir()
+    val tokens = Tokens.synthetic(spark, 150)
+    val cfg = cfgBase.copy(outDir = out)
+    val s1 = EncodePipeline.run(spark, tokens, cfg)
+    val s2 = EncodePipeline.run(spark, tokens, cfg.copy(overwrite = true))
+    // simulate a GC killed between the manifest-dir delete and the marker
+    // delete: the superseded run's manifest dir is gone, its marker left
+    val mdir = java.nio.file.Paths.get(ManifestSink.manifestDir(out), s"run_id=${s1.runId}")
+    val walk = java.nio.file.Files.walk(mdir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    // the run now has zero manifest rows, so supersession can't classify it
+    assert(ManifestSink.supersededRunIds(spark, out).isEmpty)
+    // ...but the sweep recognizes the shape (report says committed > 0,
+    // manifest dir absent) and reaps the leaked marker
+    ManifestSink.gcSuperseded(spark, out)
+    assert(!ManifestSink.committedRunIds(out).contains(s1.runId))
+    assert(ManifestSink.readCommitted(spark, out).count() == 150)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // a deliberately-empty commit (committed = 0) is history, not residue
+    val s3 = EncodePipeline.run(spark, tokens, cfg)
+    assert(s3.committed == 0)
+    ManifestSink.gcSuperseded(spark, out)
+    assert(ManifestSink.committedRunIds(out).contains(s3.runId))
+    assert(ManifestSink.committedRunIds(out).contains(s2.runId))
+  }
+
+  test("overwrite is all-or-nothing: bounded overwrite refused; shrunk input fails the coverage guard") {
     val out = freshDir()
     val tokens = Tokens.synthetic(spark, 300)
     val cfg = cfgBase.copy(outDir = out)
     val s1 = EncodePipeline.run(spark, tokens, cfg)
     assert(s1.planned > 2)
-    val s2 = EncodePipeline.run(spark, tokens,
-      cfg.copy(overwrite = true, maxPartitionsPerRun = 2))
-    assert(s2.committed == 2)
-    // partial supersession: re-committed keys resolve to run 2, the rest
-    // keep run 1; corpus still exact
-    val cur = ManifestSink.currentManifest(spark, out)
-    assert(cur.filter(col("run_id") === s2.runId).count() == 2)
-    assert(cur.filter(col("run_id") === s1.runId).count() == s1.planned - 2)
-    val read = ManifestSink.readCommitted(spark, out)
-    assert(read.count() == 300 && read.select("doc_id").distinct().count() == 300)
-    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
-    // run 1 still carries live keys — NOT reclaimable
-    assert(ManifestSink.supersededRunIds(spark, out).isEmpty)
-    val gc = ManifestSink.gcSuperseded(spark, out)
-    assert(gc.dataFilesDeleted == 0 && gc.manifestDirsDeleted == 0)
+    // a bounded overwrite re-selects the same leading keys every run —
+    // no completion path — so the composition is refused up front
+    intercept[IllegalArgumentException] {
+      EncodePipeline.run(spark, tokens,
+        cfg.copy(overwrite = true, maxPartitionsPerRun = 2))
+    }
+    // coverage guard: an input that lost its tail plans FEWER keys; the
+    // absent committed keys' old rows would silently stay visible next to
+    // the re-encoded corpus, so the run must fail loudly instead
+    val shrunk = tokens.filter(col("doc_id") < 100)
+    val e = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, shrunk, cfg.copy(overwrite = true))
+    }
+    assert(e.getMessage.contains("coverage guard"), e.getMessage)
+    // nothing superseded, nothing lost: the sink still reads run 1 exactly
     assert(ManifestSink.readCommitted(spark, out).count() == 300)
+    assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
+    // a GROWN input is covered (planned ⊇ committed): overwrite proceeds
+    val grown = Tokens.synthetic(spark, 400)
+    val s2 = EncodePipeline.run(spark, grown, cfg.copy(overwrite = true))
+    assert(s2.skipped == 0 && s2.nDocs == 400)
+    assert(ManifestSink.readCommitted(spark, out).count() == 400)
+    assert(EncodePipeline.verifyRoundtrip(spark, grown, out) == 0)
+    assert(ManifestSink.supersededRunIds(spark, out) == Seq(s1.runId))
   }
 }
