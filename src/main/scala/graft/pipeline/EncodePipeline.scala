@@ -440,17 +440,28 @@ object EncodePipeline {
       // shifted into earlier bins. The advertised use case (re-encode
       // after a codec/config change over the SAME snapshot, or a grown
       // snapshot) always plans a superset of the committed keys; a
-      // shrunk/reshaped input must go to a fresh outDir.
-      val uncovered = committedKeysDf
+      // shrunk/reshaped input must go to a fresh outDir. On a
+      // prefix-scoped sink (streaming batches), an overwrite with a
+      // partPrefix only claims THAT prefix's keys, so the guard scopes
+      // to them — other prefixes are different input slices, not ghost
+      // risks. An UNprefixed overwrite still guards every committed key
+      // (loud on a mixed sink: re-run with the matching partPrefix).
+      val guardKeys =
+        if (cfg.partPrefix.nonEmpty)
+          committedKeysDf.filter(col("part_key").startsWith(cfg.partPrefix + "/"))
+        else committedKeysDf
+      val uncovered = guardKeys
         .join(plannedKeys.hint("SHUFFLE_HASH"), Seq("part_key"), "left_anti")
         .count()
       if (uncovered > 0)
         throw new IllegalStateException(
-          s"overwrite coverage guard: $uncovered committed part_key(s) are " +
-            "absent from the new plan. Overwrite supersedes key by key, so " +
-            "those keys' old rows would silently stay visible next to the " +
-            "re-encoded corpus. The input shrank or re-binned — re-encode " +
-            "into a fresh outDir instead.")
+          s"overwrite coverage guard: $uncovered committed part_key(s) " +
+            (if (cfg.partPrefix.nonEmpty) s"under prefix '${cfg.partPrefix}' " else "") +
+            "are absent from the new plan. Overwrite supersedes key by key, " +
+            "so those keys' old rows would silently stay visible next to " +
+            "the re-encoded corpus. Either the input shrank/re-binned " +
+            "(re-encode into a fresh outDir) or this is a prefix-scoped " +
+            "sink (re-run with the matching partPrefix).")
     }
     var todoKeys =
       if (cfg.overwrite) plannedKeys

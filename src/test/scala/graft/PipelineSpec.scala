@@ -686,6 +686,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-scoped overwrite: supersedes only its own prefix; unprefixed overwrite guards loudly") {
+    val out = freshDir()
+    val w1 = Tokens.synthetic(spark, 120)
+    val w2 = Tokens.synthetic(spark, 200).filter(col("doc_id") >= 120)
+    val cfg = cfgBase.copy(outDir = out)
+    val a = EncodePipeline.run(spark, w1, cfg.copy(partPrefix = "b1"))
+    val b = EncodePipeline.run(spark, w2, cfg.copy(partPrefix = "b2"))
+    assert(ManifestSink.readCommitted(spark, out).count() == 200)
+    // scoped overwrite touches only its own prefix's keys: b2's data is
+    // not a ghost risk and must not trip the coverage guard
+    val a2 = EncodePipeline.run(spark, w1,
+      cfg.copy(partPrefix = "b1", overwrite = true))
+    assert(a2.skipped == 0)
+    assert(ManifestSink.readCommitted(spark, out).count() == 200)
+    assert(ManifestSink.supersededRunIds(spark, out) == Seq(a.runId))
+    assert(ManifestSink.readCommitted(spark, out)
+      .filter(col("run_id") === b.runId).count() > 0, "b2 untouched")
+    // an UNprefixed overwrite on the mixed sink cannot claim the prefixed
+    // keys — the guard fires instead of silently ghosting them
+    val e = intercept[IllegalStateException] {
+      EncodePipeline.run(spark, w1, cfg.copy(overwrite = true))
+    }
+    assert(e.getMessage.contains("coverage guard"), e.getMessage)
+  }
+
   test("gcSuperseded crash window: half-collected markers reaped, empty commits kept") {
     val out = freshDir()
     val tokens = Tokens.synthetic(spark, 150)
