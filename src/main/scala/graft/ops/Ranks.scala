@@ -21,17 +21,22 @@ import org.apache.spark.sql.functions._
   *     the second — and last — data exchange: the window's
   *     ClusteredDistribution(pid) requirement re-hashes the range output,
   *     which Catalyst cannot know is already pid-clustered);
-  *  3. the ranked frame is persisted and scanned ONCE for per-partition
-  *     counts (≤ the pinned partition count — bounded by configuration,
-  *     never by data), whose exclusive prefix offsets fold on the DRIVER
-  *     and broadcast back as a tiny lookup; `rank = offset + local`.
+  *  3. the ranked frame is scanned ONCE for per-partition counts (≤ the
+  *     pinned partition count — bounded by configuration, never by data),
+  *     whose exclusive prefix offsets fold on the DRIVER and broadcast
+  *     back as a tiny lookup; `rank = offset + local`.
   *
-  * Cost: exactly two exchanges of the (slim) input and one config-bounded
-  * driver fold. The first cut of this op computed offsets via a DataFrame
-  * self-join, which referenced the ranked subtree three times — and since
-  * exchange reuse does not kick in across those branches, the input was
-  * shuffled six times (review-caught; the single-computation shape is
-  * plan-asserted in OpsSpec's globalRowNumber test).
+  * Cost: the two-exchange chain runs twice (once for the counts pass,
+  * once when the returned frame is consumed) over the slim input, plus
+  * one config-bounded driver fold. The counts pass rides a SHORT-LIVED
+  * persist released immediately after the collect — an op-internal cache
+  * the caller could never unpersist would strand one entry per call for
+  * the session's lifetime (review-caught; the recompute is bit-identical
+  * because the partition count is pinned and the order total). The first
+  * cut computed offsets via a DataFrame self-join, which referenced the
+  * ranked subtree three times with NO exchange reuse — six shuffles of
+  * the input (also review-caught; OpsSpec asserts the single-reference
+  * shape).
   */
 object Ranks {
 
@@ -51,11 +56,14 @@ object Ranks {
       .withColumn(lr,
         row_number().over(Window.partitionBy(pid).orderBy(order: _*)))
       .persist()
-    // one materializing pass for the counts; every later consumer reads
-    // the cache (an evicted block recomputes bit-identically: pinned
-    // partition count, deterministic range boundaries, total order)
-    val counts = local.groupBy(pid).agg(count(lit(1)).as("__rk_c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // counts pass; the cache is released right after (opportunistically
+    // served to a prompt consumer, never stranded) — a later recompute is
+    // bit-identical: pinned partition count, deterministic range
+    // boundaries, total order
+    val counts =
+      try local.groupBy(pid).agg(count(lit(1)).as("__rk_c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      finally local.unpersist(false)
     var acc = 0L
     val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     import spark.implicits._

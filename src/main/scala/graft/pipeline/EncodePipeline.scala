@@ -453,7 +453,8 @@ object EncodePipeline {
       val uncovered = guardKeys
         .join(plannedKeys.hint("SHUFFLE_HASH"), Seq("part_key"), "left_anti")
         .count()
-      if (uncovered > 0)
+      if (uncovered > 0) {
+        plannedParts.unpersist()
         throw new IllegalStateException(
           s"overwrite coverage guard: $uncovered committed part_key(s) " +
             (if (cfg.partPrefix.nonEmpty) s"under prefix '${cfg.partPrefix}' " else "") +
@@ -462,6 +463,7 @@ object EncodePipeline {
             "the re-encoded corpus. Either the input shrank/re-binned " +
             "(re-encode into a fresh outDir) or this is a prefix-scoped " +
             "sink (re-run with the matching partPrefix).")
+      }
     }
     var todoKeys =
       if (cfg.overwrite) plannedKeys

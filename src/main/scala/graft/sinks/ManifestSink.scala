@@ -191,22 +191,37 @@ object ManifestSink {
     dead.foreach(id => Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
     // crash-window sweep (review-caught): a kill between the manifest-dir
     // loop and the marker loop leaves a run whose commit REPORT claims
-    // committed > 0 but whose manifest dir is gone — such a run has zero
-    // manifest rows, so supersededRunIds can never classify it again and
-    // its marker would leak forever. Reap exactly that shape here.
+    // committed > 0 but whose manifest dir is gone (or left EMPTY by a
+    // kill mid-deleteTree — zero manifest rows either way) — such a run
+    // can never be classified superseded again, so its marker (and any
+    // data files a kill before the data loop left behind) would leak
+    // forever. Reap exactly that shape: data files first, then the empty
+    // dir, marker last — the same crash-safe order as the main path.
     // Deliberately-empty commits (report says "committed":0) are kept —
     // they are run history, not residue.
     val committedRe = """"committed":(\d+)""".r
     val idRe2 = """"run_id":"([^"]+)"""".r
-    readCommitSummaries(root).foreach { js =>
+    def manifestRowless(id: String): Boolean = {
+      val d = Paths.get(manifestDir(root), s"run_id=$id")
+      if (!Files.isDirectory(d)) return true
+      val s = Files.list(d)
+      try !s.findFirst().isPresent finally s.close()
+    }
+    val leaked = readCommitSummaries(root).flatMap { js =>
       for {
         m <- committedRe.findFirstMatchIn(js) if m.group(1).toLong > 0
-        im <- idRe2.findFirstMatchIn(js)
-        id = im.group(1)
-        if !Files.isDirectory(Paths.get(manifestDir(root), s"run_id=$id"))
-      } Files.deleteIfExists(commitsDir(root).resolve(s"$id.json"))
+        im <- idRe2.findFirstMatchIn(js) if manifestRowless(im.group(1))
+      } yield im.group(1)
     }
-    GcReport(dataFiles, manifestDirs, 0, 0)
+    val leakedData = deleteDataFilesForRuns(spark, root, leaked.sorted)
+    var markers = 0
+    leaked.foreach { id =>
+      val d = Paths.get(manifestDir(root), s"run_id=$id")
+      if (Files.isDirectory(d)) { deleteTree(d); manifestDirs += 1 }
+      if (Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
+        markers += 1
+    }
+    GcReport(dataFiles + leakedData, manifestDirs, markers, 0)
   }
 
   /** Committed encoded rows (snapshot read): data semi-joined against the

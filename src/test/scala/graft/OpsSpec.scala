@@ -62,12 +62,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(ranked.columns.toSeq == Seq("doc_id", "score", "rank"))
     assertNoGlobalWindow(ranked, "globalRowNumber")
-    // the ranked subtree computes ONCE: offsets fold on the driver and the
-    // final join reads the persisted frame (the first cut's DataFrame
-    // self-join referenced the subtree three times — with no exchange
-    // reuse, six shuffles of the input; review-caught)
-    assert(ranked.queryExecution.executedPlan.toString
-      .contains("InMemoryTableScan"))
+    // the final plan references the ranked subtree ONCE (offsets fold on
+    // the driver): exactly one range exchange — the first cut's DataFrame
+    // self-join referenced the subtree three times with no exchange
+    // reuse, six shuffles of the input (review-caught)
+    val rankedPlan = ranked.queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(rankedPlan).length == 1, rankedPlan)
     // empty input stays empty; column-collision and no-order guards fire
     assert(Ranks.globalRowNumber(df.filter(lit(false)),
       Seq($"doc_id"), "rank").count() == 0)

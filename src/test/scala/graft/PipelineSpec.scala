@@ -727,8 +727,11 @@ class PipelineSpec extends AnyFunSuite {
     // the run now has zero manifest rows, so supersession can't classify it
     assert(ManifestSink.supersededRunIds(spark, out).isEmpty)
     // ...but the sweep recognizes the shape (report says committed > 0,
-    // manifest dir absent) and reaps the leaked marker
-    ManifestSink.gcSuperseded(spark, out)
+    // manifest dir absent) and reaps the leaked marker AND the stranded
+    // data files (nothing else could ever reclaim them: no marker, no
+    // error report, no inflight marker), reporting both
+    val gcr = ManifestSink.gcSuperseded(spark, out)
+    assert(gcr.markersCleared == 1 && gcr.dataFilesDeleted > 0, gcr.toString)
     assert(!ManifestSink.committedRunIds(out).contains(s1.runId))
     assert(ManifestSink.readCommitted(spark, out).count() == 150)
     assert(EncodePipeline.verifyRoundtrip(spark, tokens, out) == 0)
