@@ -56,7 +56,12 @@ object Sessions {
     * the stage predicate pushed down; k is a small constant (the funnel
     * definition), so this is a fixed pipeline of bounded shuffles that
     * all hash on the same key. No windows, nothing event-grain ever
-    * crosses a join.
+    * crosses a join. Honest cost note: the per-depth output unions every
+    * frontier, and frontier i's plan nests frontier i−1's, so the source
+    * is scanned k(k+1)/2 times (predicate-pushed, column-pruned — plan
+    * audited at 6 scans / 3 broadcasts / 0 SMJ for k = 3). For a funnel
+    * deep enough that re-scanning dominates, persist the stage-filtered
+    * slim projection first and feed that in as `events`.
     */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.size <= 16,
