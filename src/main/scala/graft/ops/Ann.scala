@@ -84,15 +84,24 @@ object Ann {
 
   /** One assignment pass: nearest (max-dot) centroid per vector. Centroids
     * broadcast (they are a model, bounded by nCentroids × dim).
+    *
+    * The argmax is a struct-min AGGREGATION, not a per-vector window: the
+    * cross join emits nCentroids rows per vector in one task, and the
+    * map-side partial min collapses them back to ONE row before the
+    * exchange — the r5 window formulation shuffled all nCentroids copies
+    * of every unit vector and then sorted them, ×nCentroids the bytes for
+    * the same argmax. min(struct(-cdot, cluster, unit)) picks exactly the
+    * window's (cdot DESC, cluster ASC) winner: negation flips the order,
+    * the cluster field breaks dot ties deterministically, and unit rides
+    * along un-compared (cluster is unique within a vector's rows).
     */
-  private def assign(unit: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cluster"))
+  private def assign(unit: DataFrame, cents: DataFrame): DataFrame =
     unit.crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("unit"), col("cvec")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select("vec_id", "unit", "cluster")
-  }
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cdot")).as("nc"), col("cluster").as("cluster"),
+        col("unit").as("unit"))).as("s"))
+      .select(col("vec_id"), col("s.unit").as("unit"), col("s.cluster").as("cluster"))
 
   /** IVF coarse quantizer: spherical k-means (fixed iterations, fully
     * deterministic — init is the lowest vec_ids, ties break on cluster id)

@@ -20,16 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   *     map-side combine — pair cardinality, not corpus size,
   *   - the argmax plans as TakeOrderedAndProject (no global sort),
   *   - the merge rewrite is one codegen'd pass per row.
-  * Rounds recompute the merged corpus from the source scan through the
-  * stacked merge kernels (Catalyst collapses them into one projection) —
-  * but only up to [[Bpe.CheckpointEvery]] deep: recomputing through r
-  * stacked kernels makes round r cost r kernel passes (Θ(k²) total) and
-  * re-analyzes an ever-growing plan, so every CheckpointEvery rounds the
-  * corpus is materialized through the engine's iterative-loop barrier
-  * (`Dedup.statsBarrier` + `freeCheckpoint`, the CC-loop pattern — a
-  * localCheckpoint re-wrap that also stops Spark 4's originStats
-  * carry-through). Result-invisible (same rows), spec-pinned by the
-  * merged ≡ applyMerges equality in BpeSpec past the boundary.
+  * Each round's merged corpus is MATERIALIZED (lazy localCheckpoint, so
+  * the round's single action — the argmax collect — doubles as the
+  * materialization), and round r reads the previous round's stored
+  * arrays plus ONE merge kernel — the r5 version recomputed the corpus
+  * from the source scan through r stacked kernels every round (token
+  * GENERATION plus Θ(k²) kernel passes over the run; measured as the
+  * dominant cost of both bpe gate queries). The superseded round's
+  * blocks are freed once the next round's argmax has materialized its
+  * successor. Every CheckpointEvery rounds the corpus still materializes
+  * through the engine's iterative-loop barrier (`Dedup.statsBarrier` +
+  * `freeCheckpoint`, the CC-loop pattern — a localCheckpoint re-wrap that
+  * also stops Spark 4's originStats carry-through), which bounds both the
+  * logical-plan depth and the eviction-recompute depth. Result-invisible
+  * (same rows), spec-pinned by the merged ≡ applyMerges equality in
+  * BpeSpec past the boundary.
   */
 object Bpe {
 
@@ -79,28 +84,56 @@ object Bpe {
     require(nMerges >= 1 && nMerges <= 4096,
       s"nMerges must be in [1, 4096]: $nMerges")
     graft.functions.GraftFunctions.register(tokens.sparkSession)
+    // The round-0 corpus (scan + token generation + widening cast) is
+    // materialized too: round 0's argmax does it, and no later round ever
+    // re-runs the generator. LAZY localCheckpoint rather than persist(),
+    // twice deliberately: (1) the round's single argmax action still both
+    // materializes the blocks and reads them — no extra job per round;
+    // (2) persist() registers the PLAN in the session CacheManager, where
+    // an identical plan built by a later bench rep or sibling query would
+    // silently resolve to this invocation's data — cross-invocation
+    // result reuse the bench contract forbids. Checkpoint blocks are
+    // RDD-keyed: invisible to any other plan.
     var corpus = tokens.select(col("doc_id"),
       col("tokens").cast(ArrayType(LongType, containsNull = false)).as("tokens"))
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var exhausted = false
     var priorCp: DataFrame = null
+    // the blocks the current round's corpus superseded — releasable only
+    // after the next argmax action has materialized its successor (whose
+    // materialization reads them)
+    var pendingRelease: DataFrame = null
     while (r < nMerges && !exhausted) {
       val top = pairCounts(corpus)
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
+      // the argmax materialized `corpus`'s blocks; its predecessor is done
+      if (pendingRelease != null) { Dedup.freeCheckpoint(pendingRelease); pendingRelease = null }
       if (top.isEmpty) exhausted = true
       else {
         val m = Merge(r.toLong, top(0).getLong(0), top(0).getLong(1),
           top(0).getLong(2), NewIdBase + r)
         merges += m
+        pendingRelease = corpus
         corpus = applyMerge(corpus, m)
         r += 1
+        // checkpoint only while another action will follow: the FINAL
+        // corpus is returned as a one-kernel plan over the last round's
+        // live blocks, so a single downstream consumption pays no extra
+        // materialization. The last blocks strand for the session — the
+        // price of a lazily-consumable result whose hot path must not
+        // re-run k kernels plus the generator (MEMORY_AND_DISK: pressure
+        // spills to disk rather than dropping blocks).
+        if (r < nMerges) corpus = corpus.localCheckpoint(false)
         if (r % CheckpointEvery == 0 && r < nMerges) {
-          // bound the kernel-stack depth (Θ(k²) otherwise); free the
-          // barrier this one supersedes — never the latest, which the
+          // bound the logical-plan and eviction-recompute depth; free the
+          // blocks the barrier supersedes — never the latest, which the
           // returned (still-lazy) corpus plan references
           val (wrapped, cp) = Dedup.statsBarrier(corpus)
+          Dedup.freeCheckpoint(corpus) // the barrier replaces these blocks
+          if (pendingRelease != null) { Dedup.freeCheckpoint(pendingRelease); pendingRelease = null }
           if (priorCp != null) Dedup.freeCheckpoint(priorCp)
           priorCp = cp
           corpus = wrapped
@@ -157,8 +190,14 @@ object Bpe {
     require(nMerges >= 1 && nMerges <= 4096,
       s"nMerges must be in [1, 4096]: $nMerges")
     graft.functions.GraftFunctions.register(tokens.sparkSession)
+    // materialized per round like [[learnMerges]] (lazy localCheckpoint —
+    // same CacheManager-avoidance rationale): the changed-doc filter
+    // re-reads the corpus every round, and without the blocks that scan
+    // recomputes token generation plus r stacked kernels each time
     var corpus = tokens.select(col("doc_id"),
       col("tokens").cast(ArrayType(LongType, containsNull = false)).as("tokens"))
+      .localCheckpoint(false)
+    var corpusPending: DataFrame = null
     // seed counts: ONE full recount, then deltas only
     var (counts, countsCp) = Dedup.statsBarrier(pairCounts(corpus))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -200,6 +239,9 @@ object Bpe {
           call_function("bpe_pair_present", col("tokens"), lit(m.lhs), lit(m.rhs)))
           .persist()
         val nChanged = changed.count()
+        // that count read the full corpus, materializing this round's
+        // corpus blocks — its predecessor is done
+        if (corpusPending != null) { Dedup.freeCheckpoint(corpusPending); corpusPending = null }
         if (verbose)
           System.err.println(f"[graft] bpe round=$r lhs=${m.lhs} rhs=${m.rhs} " +
             f"count=${m.pair_count} changed_docs=$nChanged " +
@@ -214,8 +256,11 @@ object Bpe {
           .persist() // materialized by the NEXT argmax — no extra action
         pendingCaches = List(counts, changed)
         counts = folded
+        corpusPending = corpus
         corpus = applyMerge(corpus, m)
         r += 1
+        // same final-round / strand posture as [[learnMerges]]
+        if (r < nMerges) corpus = corpus.localCheckpoint(false)
         if (r % CheckpointEvery == 0 && r < nMerges) {
           // cut both lineages: the corpus kernel stack (Θ(k²) recompute
           // otherwise) and the counts union chain (plan + originStats
@@ -228,6 +273,8 @@ object Bpe {
           Dedup.freeCheckpoint(countsCp)
           counts = wrappedCounts; countsCp = cCp
           val (wrapped, cp) = Dedup.statsBarrier(corpus)
+          Dedup.freeCheckpoint(corpus) // the barrier replaces these blocks
+          if (corpusPending != null) { Dedup.freeCheckpoint(corpusPending); corpusPending = null }
           if (priorCorpusCp != null) Dedup.freeCheckpoint(priorCorpusCp)
           priorCorpusCp = cp
           corpus = wrapped

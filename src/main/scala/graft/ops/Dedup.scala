@@ -112,7 +112,14 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 32, bands: Int = 8,
       minEstJaccard: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    // the signature table is referenced three times below (banding + both
+    // pair-side joins); an eager checkpoint runs the kernel over the
+    // corpus ONCE and the three references read the slim (doc_id, k×i64)
+    // blocks — without it each exchange re-split and re-hashed the full
+    // text (three kernel passes, plan-audited). Deterministic recompute
+    // is not the concern here (the kernel is pure); wasted passes are.
     val sig = withMinhash(docs, k).select("doc_id", "minhash")
+      .localCheckpoint(true)
     minhashCandidatesFromSig(sig, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")
@@ -143,8 +150,28 @@ object Dedup {
     * list, never cross-joined.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame): DataFrame = {
-    val grams = trigrams(docs).select("doc_id", "grams")
-    candidates.select("doc_a", "doc_b")
+    // candidate pair lists are small by construction (LSH-capped) but
+    // their PLANS can be arbitrarily expensive; this frame is referenced
+    // three times below (two id projections + the pair join), so pin it
+    // once with an eager checkpoint
+    val cand = candidates.select("doc_a", "doc_b").localCheckpoint(true)
+    // gram sets are only needed for docs that appear in some candidate
+    // pair — a semi-join against the involved-id set keeps the gram
+    // construction (split + transform + distinct per doc, the dominant
+    // per-row cost) off the rest of the corpus, instead of building gram
+    // arrays for every document and discarding most of them in the
+    // joins. Size-guarded like every slim-side join in this engine:
+    // broadcast while the pair list is small (the count is free — the
+    // blocks are already materialized), SHUFFLE_HASH past the limit —
+    // never an SMJ that would sort the text side (spec-asserted).
+    val nCand = cand.count()
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val idsSide = if (2 * nCand <= (1L << 20)) broadcast(ids)
+      else ids.hint("SHUFFLE_HASH")
+    val grams = trigrams(docs.join(idsSide, Seq("doc_id"), "left_semi"))
+      .select("doc_id", "grams")
+    cand
       .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a"), "doc_a")
       .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -169,7 +196,10 @@ object Dedup {
     */
   def verifiedPairs(docs: DataFrame, minJacPct: Long = 80, k: Int = 32,
       bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    // same three-reference shape as [[minhashPairs]]: one kernel pass,
+    // checkpointed, read three times
     val sig = withMinhash(docs, k).select("doc_id", "minhash")
+      .localCheckpoint(true)
     val prefiltered = minhashCandidatesFromSig(sig, k, bands, maxBucket)
       .join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minhash", "mh_a"), "doc_a")
       .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minhash", "mh_b"), "doc_b")

@@ -26,17 +26,26 @@ import org.apache.spark.sql.functions._
   *     whose exclusive prefix offsets fold on the DRIVER and broadcast
   *     back as a tiny lookup; `rank = offset + local`.
   *
-  * Cost: the two-exchange chain runs twice (once for the counts pass,
-  * once when the returned frame is consumed) over the slim input, plus
-  * one config-bounded driver fold. The counts pass rides a SHORT-LIVED
-  * persist released immediately after the collect — an op-internal cache
-  * the caller could never unpersist would strand one entry per call for
-  * the session's lifetime (review-caught; the recompute is bit-identical
-  * because the partition count is pinned and the order total). The first
-  * cut computed offsets via a DataFrame self-join, which referenced the
+  * The two-exchange chain is materialized EXACTLY ONCE, through an eager
+  * localCheckpoint, and both the counts pass and the returned frame read
+  * the checkpointed blocks. This is load-bearing for correctness, not
+  * just cost: each consuming action builds a fresh QueryExecution whose
+  * RDDs get fresh ids, and `repartitionByRange`'s reservoir-sample seed
+  * derives from the RDD id — Spark documents the boundaries as "not
+  * guaranteed consistent" across such re-executions. The r5 version
+  * persisted, collected counts, and unpersisted BEFORE the consumer ran,
+  * so offsets from execution #1 were applied to execution #2's partition
+  * ids — wrong/duplicated ranks whenever partial sampling draws different
+  * boundaries (advisor-caught; gate data passed only because small
+  * partitions are fully sampled). A localCheckpoint makes the split
+  * immutable: a lost block fails the job instead of silently recomputing
+  * under new boundaries. The checkpointed blocks for the slim ranked
+  * projection stay live for the session (the price of handing back a
+  * lazily-consumable frame whose bits must not move); the first cut
+  * computed offsets via a DataFrame self-join, which referenced the
   * ranked subtree three times with NO exchange reuse — six shuffles of
-  * the input (also review-caught; OpsSpec asserts the single-reference
-  * shape).
+  * the input (review-caught; OpsSpec asserts the checkpointed
+  * single-materialization shape).
   */
 object Ranks {
 
@@ -51,19 +60,17 @@ object Ranks {
       require(!df.columns.contains(c), s"input already has a $c column"))
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // eager checkpoint: the range split + local numbering run ONCE, and
+    // both the counts pass and the returned plan read the same immutable
+    // blocks — see the class doc for why a persist/unpersist here is a
+    // correctness bug, not a cost choice
     val local = df.repartitionByRange(nParts, order: _*)
       .withColumn(pid, spark_partition_id())
       .withColumn(lr,
         row_number().over(Window.partitionBy(pid).orderBy(order: _*)))
-      .persist()
-    // counts pass; the cache is released right after (opportunistically
-    // served to a prompt consumer, never stranded) — a later recompute is
-    // bit-identical: pinned partition count, deterministic range
-    // boundaries, total order
-    val counts =
-      try local.groupBy(pid).agg(count(lit(1)).as("__rk_c"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      finally local.unpersist(false)
+      .localCheckpoint(true)
+    val counts = local.groupBy(pid).agg(count(lit(1)).as("__rk_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     import spark.implicits._

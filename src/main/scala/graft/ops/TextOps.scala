@@ -237,31 +237,39 @@ object TextOps {
     * Counts stay BIGINT; consumers derive the fractions. Docs shorter than
     * n words emit zeros (no grams to repeat) rather than vanishing.
     *
-    * Scale shape: explode → two slim aggregations with map-side partial
-    * combine (the per-(doc, gram) counts then the per-doc fold); the
-    * short-doc branch is a row-local filter unioned in — no join anywhere.
+    * Scale shape: ONE source scan — short docs ride the same explode as
+    * gram-bearing ones (their gram array is empty and `explode_outer`
+    * keeps them as a single null-gram row that aggregates to zeros), so
+    * there is no second scan for a union branch — then two slim
+    * aggregations with map-side partial combine (the per-(doc, gram)
+    * counts, then the per-doc fold); no join anywhere. The r5 version
+    * unioned a separately-scanned short-doc branch: two full text scans
+    * for one operator.
     */
   def repetition(docs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
+    val parts = (1 to n).map(j => s"element_at(words, i + $j)").mkString(", ")
     // a NULL text must drop, not read as "short" (legacy size(NULL) = -1
     // would route it to the zeros branch) — the oracle's len(words)
     // comparisons are NULL for such docs, so both engines drop them
-    val withWords = docs.filter(col("text").isNotNull)
+    docs.filter(col("text").isNotNull)
       .withColumn("words", split(col("text"), " "))
-    val parts = (1 to n).map(j => s"element_at(words, i + $j)").mkString(", ")
-    val stats = withWords.filter(size(col("words")) >= n)
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, size(words) - $n), " +
-          s"i -> concat_ws(' ', $parts))")).as("gram"))
+        explode_outer(expr(
+          s"""CASE WHEN size(words) >= $n THEN
+             |  transform(sequence(0, size(words) - $n),
+             |    i -> concat_ws(' ', $parts))
+             |ELSE CAST(array() AS array<string>) END""".stripMargin))
+          .as("gram"))
+      // null gram ⟺ short doc (concat_ws never yields null), so the
+      // conditional folds below reproduce the zeros rows exactly
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        sum("c").as("n_grams"),
-        count(lit(1)).as("distinct_grams"),
-        max("c").as("top_gram_count"))
-    val shorts = withWords.filter(size(col("words")) < n)
-      .select(col("doc_id"), lit(0L).as("n_grams"),
-        lit(0L).as("distinct_grams"), lit(0L).as("top_gram_count"))
-    stats.unionByName(shorts)
+        coalesce(sum(when(col("gram").isNotNull, col("c"))), lit(0L))
+          .as("n_grams"),
+        count(col("gram")).as("distinct_grams"),
+        coalesce(max(when(col("gram").isNotNull, col("c"))), lit(0L))
+          .as("top_gram_count"))
       .withColumn("dup_grams", col("n_grams") - col("distinct_grams"))
   }
 

@@ -32,12 +32,23 @@ object Vocab {
     */
   def rankTable(tokens: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"vocab size k must be positive: $k")
-    val topk = tokens.select(explode(col("tokens")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("tok").asc).limit(k)
-    Ranks.globalRowNumber(topk, Seq(col("freq").desc, col("tok").asc), "rank")
+    Ranks.globalRowNumber(topkFrame(tokens, k),
+      Seq(col("freq").desc, col("tok").asc), "rank")
       .withColumn("rank", col("rank") - 1)
   }
+
+  /** The pre-rank top-k membership cut ([[rankTable]]'s input, exposed for
+    * the plan spec): must stay a distributed TakeOrderedAndProject — never
+    * a global sort of the whole vocabulary. Since the rank phase
+    * materializes through [[Ranks.globalRowNumber]]'s eager checkpoint,
+    * this subtree's plan is no longer visible in rankTable's consumer
+    * plan (it executes inside the checkpoint job), so the spec asserts on
+    * it directly.
+    */
+  private[graft] def topkFrame(tokens: DataFrame, k: Int): DataFrame =
+    tokens.select(explode(col("tokens")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(k)
 
   /** Cumulative coverage curve: for each probe size `k` in `ks`, how many
     * corpus tokens (and what per-mille share) the top-k most frequent

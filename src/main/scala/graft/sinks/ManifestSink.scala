@@ -188,7 +188,11 @@ object ManifestSink {
       val d = Paths.get(manifestDir(root), s"run_id=$id")
       if (Files.isDirectory(d)) { deleteTree(d); manifestDirs += 1 }
     }
-    dead.foreach(id => Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
+    var markers = 0
+    dead.foreach { id =>
+      if (Files.deleteIfExists(commitsDir(root).resolve(s"$id.json")))
+        markers += 1
+    }
     // crash-window sweep (review-caught): a kill between the manifest-dir
     // loop and the marker loop leaves a run whose commit REPORT claims
     // committed > 0 but whose manifest dir is gone (or left EMPTY by a
@@ -214,7 +218,6 @@ object ManifestSink {
       } yield im.group(1)
     }
     val leakedData = deleteDataFilesForRuns(spark, root, leaked.sorted)
-    var markers = 0
     leaked.foreach { id =>
       val d = Paths.get(manifestDir(root), s"run_id=$id")
       if (Files.isDirectory(d)) { deleteTree(d); manifestDirs += 1 }

@@ -62,12 +62,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(ranked.columns.toSeq == Seq("doc_id", "score", "rank"))
     assertNoGlobalWindow(ranked, "globalRowNumber")
-    // the final plan references the ranked subtree ONCE (offsets fold on
-    // the driver): exactly one range exchange — the first cut's DataFrame
-    // self-join referenced the subtree three times with no exchange
-    // reuse, six shuffles of the input (review-caught)
+    // the ranked subtree materializes ONCE, through an eager local
+    // checkpoint whose blocks both the counts pass and the returned plan
+    // read: the consumer plan must contain NO range exchange (it already
+    // ran inside the checkpoint job) and must scan the checkpointed RDD.
+    // The r5 persist/unpersist-before-consumption version re-executed the
+    // range split per action, whose reservoir-sampled boundaries Spark
+    // does not guarantee stable across executions (advisor-caught); the
+    // first cut's DataFrame self-join referenced the subtree three times
+    // with no exchange reuse — six shuffles (review-caught)
     val rankedPlan = ranked.queryExecution.executedPlan.toString
-    assert("rangepartitioning".r.findAllIn(rankedPlan).length == 1, rankedPlan)
+    assert("rangepartitioning".r.findAllIn(rankedPlan).isEmpty, rankedPlan)
+    assert(rankedPlan.contains("ExistingRDD"), rankedPlan)
     // empty input stays empty; column-collision and no-order guards fire
     assert(Ranks.globalRowNumber(df.filter(lit(false)),
       Seq($"doc_id"), "rank").count() == 0)
@@ -1186,10 +1192,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.values.exists(_._3 > 0)) // the cut actually bites on this corpus
     // plan: rank table joins BROADCAST; the top-k cut must plan as a
-    // distributed TakeOrdered, never a global sort of the whole vocabulary
+    // distributed TakeOrdered, never a global sort of the whole
+    // vocabulary. The top-k subtree executes inside globalRowNumber's
+    // eager checkpoint job now, so its plan is asserted directly on the
+    // exposed pre-rank frame rather than on the consumer plan (where only
+    // the checkpointed scan remains).
     val plan = Vocab.remapChecksum(toks, k).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
-    assert(plan.contains("TakeOrderedAndProject"))
+    val topkPlan = Vocab.topkFrame(toks, k).queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TakeOrderedAndProject"), topkPlan)
     intercept[IllegalArgumentException](Vocab.rankTable(toks, 0))
   }
 
