@@ -139,6 +139,14 @@ class OpsSpec extends AnyFunSuite {
     val lsh = Dedup.verifiedPairs(docs, minJacPct = 80)
     assert(lsh.exceptAll(exact).count() == 0)
     assert(exact.exceptAll(lsh).count() == 0)
+    // the opt-in candidate-reduction scale path is result-invisible: same
+    // rows as the default single-job form over a real candidate set
+    val cands = Dedup.minhashPairs(docs, minEstJaccard = 0.2)
+      .select("doc_a", "doc_b")
+    val dflt = Dedup.jaccardVerify(docs, cands)
+    val reduced = Dedup.jaccardVerify(docs, cands, reduceToCandidates = true)
+    assert(dflt.exceptAll(reduced).count() == 0)
+    assert(reduced.exceptAll(dflt).count() == 0)
   }
 
   test("connected components: chains merge, disjoint clusters stay apart") {
