@@ -115,9 +115,14 @@ object Sessions {
     * the number of distinct active users and how many of them are active
     * again in the NEXT hour — the cohort-retention primitive. Output
     * `(hour_us, n_users, n_retained)`, all BIGINT (hour_us = bucket start
-    * in epoch microseconds). Scale shape: one distinct (user, hour)
-    * shuffle, then a self-join on (user, hour+1) that hashes the same
-    * slim frame — never event-grain.
+    * in epoch microseconds). Scale shape: ONE distinct (user, hour)
+    * shuffle — the slim frame materializes through an eager
+    * localCheckpoint and its three plan references (shifted self-join
+    * side, semi-join side, per-hour rollup) read the blocks; the r5
+    * version re-scanned the event source and re-ran the distinct shuffle
+    * per reference (plan-audited: 3 source scans), because the three
+    * references hash on three different keys and no exchange reuse can
+    * fire. Never event-grain past the distinct.
     */
   def retention(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
@@ -128,6 +133,7 @@ object Sessions {
         expr(s"(unix_micros(cast(ts AS timestamp)) div ${hourUs}L) * ${hourUs}L")
           .as("hour_us"))
       .distinct()
+      .localCheckpoint(true)
     val next = active.select(col("user_id"),
       (col("hour_us") - hourUs).as("hour_us"))
     active.join(next, Seq("user_id", "hour_us"), "left_semi")
