@@ -536,9 +536,17 @@ object EncodePipeline {
     // encode itself (below the exchange), so per-task first-row→last-row
     // spans measure REAL encode wall time (round 1 wrote a driver-side
     // constant here).
+    // blob_len is computed in the same map-side projection as the encode:
+    // the manifest-stats aggregate below then reads an 8-byte column from
+    // the columnar cache instead of deserializing every blob's bytes a
+    // second time just to take length() (phase-profiled at ~30% of the
+    // warm pipeline wall before this). The column is cache-only — the
+    // data-write select never includes it, so the sink schema is
+    // unchanged.
     val encoded = tokens
       .join(docTodo.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .withColumn("blob", expr("encode_auto(tokens)"))
+      .withColumn("blob_len", length(col("blob")).cast("long"))
       .withColumn("codec", expr("codec_of(blob)"))
       .withColumn("enc_task", spark_partition_id())
       .withColumn("enc_ns", expr("now_nanos()"))
@@ -578,13 +586,15 @@ object EncodePipeline {
       // per-task wall spans, and the token-share apportionment all derive
       // from it — this used to be three separate full passes over the
       // cached blobs (at 100 TB: three scans of a dataset that may have
-      // spilled to disk, for metadata).
+      // spilled to disk, for metadata). The scan itself is column-pruned
+      // to slim columns only: g_bytes folds the precomputed blob_len, so
+      // the blob column's bytes are never touched here.
       val slim = encoded
         .groupBy("part_key", "source", "salt", "bin", "run_id", "enc_task", "codec")
         .agg(
           count(lit(1)).as("g_docs"),
           sum(col("n_tok").cast("long")).as("g_tokens"),
-          sum(length(col("blob")).cast("long")).as("g_bytes"),
+          sum(col("blob_len")).as("g_bytes"),
           min("enc_ns").as("g_min_ns"),
           max("enc_ns").as("g_max_ns"))
         .persist(StorageLevel.MEMORY_AND_DISK)
