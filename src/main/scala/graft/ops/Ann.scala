@@ -91,9 +91,15 @@ object Ann {
     * exchange — the r5 window formulation shuffled all nCentroids copies
     * of every unit vector and then sorted them, ×nCentroids the bytes for
     * the same argmax. min(struct(-cdot, cluster, unit)) picks exactly the
-    * window's (cdot DESC, cluster ASC) winner: negation flips the order,
-    * the cluster field breaks dot ties deterministically, and unit rides
-    * along un-compared (cluster is unique within a vector's rows).
+    * window's (cdot DESC, cluster ASC) winner for FINITE dots: negation
+    * flips the order, the cluster field breaks dot ties
+    * deterministically, and unit rides along un-compared (cluster is
+    * unique within a vector's rows). One deliberate divergence: a NaN
+    * dot (possible only via a NaN centroid — vec_normalize of an exactly
+    * zero mean vector) sorts LAST here where the old DESC window sorted
+    * it FIRST, i.e. a degenerate centroid no longer captures every
+    * vector; the saner behavior, and unreachable on gate data (no zero
+    * mean vectors; the oracle regime is the exhaustive sweep besides).
     */
   private def assign(unit: DataFrame, cents: DataFrame): DataFrame =
     unit.crossJoin(broadcast(cents))

@@ -119,24 +119,27 @@ object Bpe {
         pendingRelease = corpus
         corpus = applyMerge(corpus, m)
         r += 1
-        // checkpoint only while another action will follow: the FINAL
+        // materialize only while another action will follow: the FINAL
         // corpus is returned as a one-kernel plan over the last round's
         // live blocks, so a single downstream consumption pays no extra
-        // materialization. The last blocks strand for the session — the
+        // materialization (the last blocks strand for the session — the
         // price of a lazily-consumable result whose hot path must not
-        // re-run k kernels plus the generator (MEMORY_AND_DISK: pressure
-        // spills to disk rather than dropping blocks).
-        if (r < nMerges) corpus = corpus.localCheckpoint(false)
-        if (r % CheckpointEvery == 0 && r < nMerges) {
-          // bound the logical-plan and eviction-recompute depth; free the
-          // blocks the barrier supersedes — never the latest, which the
-          // returned (still-lazy) corpus plan references
-          val (wrapped, cp) = Dedup.statsBarrier(corpus)
-          Dedup.freeCheckpoint(corpus) // the barrier replaces these blocks
-          if (pendingRelease != null) { Dedup.freeCheckpoint(pendingRelease); pendingRelease = null }
-          if (priorCp != null) Dedup.freeCheckpoint(priorCp)
-          priorCp = cp
-          corpus = wrapped
+        // re-run k kernels plus the generator; MEMORY_AND_DISK spills
+        // under pressure rather than dropping blocks). On barrier rounds
+        // the statsBarrier IS the materialization — wrapping the round in
+        // its own lazy checkpoint first would write a second
+        // corpus-sized block set only to free it unread (review-caught).
+        if (r < nMerges) {
+          if (r % CheckpointEvery == 0) {
+            // bound the logical-plan and eviction-recompute depth; the
+            // barrier reads the previous round's blocks through the
+            // one-kernel plan, so they are freed only after it lands
+            val (wrapped, cp) = Dedup.statsBarrier(corpus)
+            if (pendingRelease != null) { Dedup.freeCheckpoint(pendingRelease); pendingRelease = null }
+            if (priorCp != null) Dedup.freeCheckpoint(priorCp)
+            priorCp = cp
+            corpus = wrapped
+          } else corpus = corpus.localCheckpoint(false)
         }
       }
     }
@@ -259,25 +262,26 @@ object Bpe {
         corpusPending = corpus
         corpus = applyMerge(corpus, m)
         r += 1
-        // same final-round / strand posture as [[learnMerges]]
-        if (r < nMerges) corpus = corpus.localCheckpoint(false)
-        if (r % CheckpointEvery == 0 && r < nMerges) {
-          // cut both lineages: the corpus kernel stack (Θ(k²) recompute
-          // otherwise) and the counts union chain (plan + originStats
-          // growth); the barrier materializes the pending fold, after
-          // which every cache behind it is releasable
-          val (wrappedCounts, cCp) = Dedup.statsBarrier(counts)
-          counts.unpersist()
-          pendingCaches.foreach(_.unpersist())
-          pendingCaches = Nil
-          Dedup.freeCheckpoint(countsCp)
-          counts = wrappedCounts; countsCp = cCp
-          val (wrapped, cp) = Dedup.statsBarrier(corpus)
-          Dedup.freeCheckpoint(corpus) // the barrier replaces these blocks
-          if (corpusPending != null) { Dedup.freeCheckpoint(corpusPending); corpusPending = null }
-          if (priorCorpusCp != null) Dedup.freeCheckpoint(priorCorpusCp)
-          priorCorpusCp = cp
-          corpus = wrapped
+        // same final-round / strand / barrier-is-the-materialization
+        // posture as [[learnMerges]]
+        if (r < nMerges) {
+          if (r % CheckpointEvery == 0) {
+            // cut both lineages: the corpus kernel stack (Θ(k²) recompute
+            // otherwise) and the counts union chain (plan + originStats
+            // growth); the barrier materializes the pending fold, after
+            // which every cache behind it is releasable
+            val (wrappedCounts, cCp) = Dedup.statsBarrier(counts)
+            counts.unpersist()
+            pendingCaches.foreach(_.unpersist())
+            pendingCaches = Nil
+            Dedup.freeCheckpoint(countsCp)
+            counts = wrappedCounts; countsCp = cCp
+            val (wrapped, cp) = Dedup.statsBarrier(corpus)
+            if (corpusPending != null) { Dedup.freeCheckpoint(corpusPending); corpusPending = null }
+            if (priorCorpusCp != null) Dedup.freeCheckpoint(priorCorpusCp)
+            priorCorpusCp = cp
+            corpus = wrapped
+          } else corpus = corpus.localCheckpoint(false)
         }
       }
     }
